@@ -1,0 +1,162 @@
+"""Feature specs with frequency-ordered vocabularies and int-id encoding.
+
+TPU-native analog of the reference feature spec (ref: pkg/schema/features.py).
+Key redesign: the reference keeps TF dtypes and does string lookup on-graph
+with `StringLookup(num_oov_indices=1)` (ref: pkg/modelling/layers/
+input_layer.py:33-36); JAX has no string tensors, so vocab lookup moves into
+the host data pipeline. Encoding contract:
+
+    id 0                -> OOV  (mirrors num_oov_indices=1)
+    id i+1 (1..V)       -> vocab[i], vocab frequency-ordered (most frequent
+                           first), truncated to max_vocab_size
+                           (ref: pkg/schema/features.py:106-127)
+
+so an embedding table has ``len(vocab) + 1`` rows, exactly like the
+reference's ``Embedding(len(vocab)+1, emb_size)`` (ref: input_layer.py:37-41).
+"""
+
+from __future__ import annotations
+
+import enum
+from dataclasses import dataclass, field
+from typing import Dict, Optional
+
+import numpy as np
+import pandas as pd
+
+
+class FeatureFamily(str, enum.Enum):
+    """Which tower a feature feeds (ref: pkg/schema/features.py:11-18)."""
+
+    QUERY = "query"
+    CANDIDATE = "candidate"
+
+
+class FeatureKind(str, enum.Enum):
+    """Value type. The reference supports tf.string / tf.float32
+    (ref: pkg/schema/features.py:43); here: categorical (string tokens,
+    id-encoded) and numeric (float32 passthrough)."""
+
+    CATEGORICAL = "categorical"
+    NUMERIC = "numeric"
+
+
+@dataclass
+class Feature:
+    """One model input feature.
+
+    Parameters mirror the reference's Feature
+    (ref: pkg/schema/features.py:21-73): name, dtype/kind, family, an
+    embedding size for categorical features, and either a fixed vocab or a
+    ``max_vocab_size`` cap for vocab building.
+    """
+
+    name: str
+    kind: FeatureKind
+    family: FeatureFamily
+    embedding_size: Optional[int] = None
+    vocab: Optional[np.ndarray] = None  # frequency-ordered string tokens
+    max_vocab_size: Optional[int] = None
+    # token -> id cache (built lazily; not serialized)
+    _token_to_id: Optional[Dict[str, int]] = field(
+        default=None, repr=False, compare=False
+    )
+
+    def __post_init__(self):
+        self.kind = FeatureKind(self.kind)
+        self.family = FeatureFamily(self.family)
+        if self.kind == FeatureKind.CATEGORICAL:
+            if self.embedding_size is None or self.embedding_size <= 0:
+                raise ValueError(
+                    f"categorical feature {self.name!r} requires a positive "
+                    "embedding_size"
+                )
+        else:
+            if self.embedding_size is not None:
+                raise ValueError(
+                    f"numeric feature {self.name!r} cannot have an "
+                    "embedding_size"
+                )
+            if self.vocab is not None or self.max_vocab_size is not None:
+                raise ValueError(
+                    f"numeric feature {self.name!r} cannot have a vocab"
+                )
+        if self.vocab is not None:
+            self.vocab = np.asarray(self.vocab, dtype=str)
+
+    # ------------------------------------------------------------------
+    # Vocab building / encoding
+    # ------------------------------------------------------------------
+    @property
+    def has_vocab(self) -> bool:
+        return self.vocab is not None
+
+    @property
+    def num_embeddings(self) -> int:
+        """Table rows: vocab size + 1 OOV row (ref: input_layer.py:37-41)."""
+        if self.vocab is None:
+            raise ValueError(f"feature {self.name!r} has no vocab yet")
+        return len(self.vocab) + 1
+
+    def build_vocab_from_dataframe(self, df: pd.DataFrame) -> None:
+        """Frequency-ordered vocab, truncated to ``max_vocab_size`` most
+        frequent tokens (ref: pkg/schema/features.py:106-127)."""
+        if self.kind != FeatureKind.CATEGORICAL:
+            raise ValueError(f"cannot build vocab for numeric {self.name!r}")
+        counts = df[self.name].astype(str).value_counts()
+        if self.max_vocab_size is not None:
+            counts = counts.iloc[: self.max_vocab_size]
+        self.vocab = counts.index.to_numpy(dtype=str)
+        self._token_to_id = None
+
+    def _lookup(self) -> Dict[str, int]:
+        if self._token_to_id is None:
+            if self.vocab is None:
+                raise ValueError(f"feature {self.name!r} has no vocab")
+            self._token_to_id = {
+                tok: i + 1 for i, tok in enumerate(self.vocab)
+            }
+        return self._token_to_id
+
+    def encode(self, values) -> np.ndarray:
+        """String tokens -> int32 ids (0 = OOV). Host-side replacement for
+        the reference's on-graph StringLookup (ref: input_layer.py:33-36)."""
+        table = self._lookup()
+        ser = pd.Series(np.asarray(values, dtype=str).ravel())
+        ids = ser.map(table).fillna(0).to_numpy(dtype=np.int32)
+        return ids
+
+    def decode(self, ids: np.ndarray) -> np.ndarray:
+        """Int ids -> string tokens; id 0 (and out-of-range) -> '<OOV>'."""
+        if self.vocab is None:
+            raise ValueError(f"feature {self.name!r} has no vocab")
+        ids = np.asarray(ids)
+        padded = np.concatenate([np.array(["<OOV>"]), self.vocab])
+        safe = np.where((ids >= 0) & (ids < len(padded)), ids, 0)
+        return padded[safe]
+
+    # ------------------------------------------------------------------
+    # Serialization (vocab stored separately in an npz, see schema.py)
+    # ------------------------------------------------------------------
+    def to_dict(self) -> dict:
+        return {
+            "name": self.name,
+            "kind": self.kind.value,
+            "family": self.family.value,
+            "embedding_size": self.embedding_size,
+            "max_vocab_size": self.max_vocab_size,
+            "has_vocab": self.has_vocab,
+        }
+
+    @classmethod
+    def from_dict(
+        cls, payload: dict, vocab: Optional[np.ndarray] = None
+    ) -> "Feature":
+        return cls(
+            name=payload["name"],
+            kind=FeatureKind(payload["kind"]),
+            family=FeatureFamily(payload["family"]),
+            embedding_size=payload.get("embedding_size"),
+            vocab=vocab,
+            max_vocab_size=payload.get("max_vocab_size"),
+        )
