@@ -1,0 +1,130 @@
+"""Streaming input pipeline over columnar shards.
+
+TPU-native analog of the reference's tf.data factory
+(ref: pkg/modelling/tfrecord_dataset.py:59-98): lazy shard reads, buffered
+shuffle, fixed-size batches. Batches are dicts of host numpy arrays of shape
+``(B,)`` — the reference's ``(B, 1)`` trailing singleton
+(ref: tfrecord_dataset.py:35) is dropped; embedding gathers index flat id
+vectors directly.
+
+Device feeding lives in data/device_feed.py (sharded jax.Arrays over a mesh
+with background prefetch) — the part the single-device reference never
+needed.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import logging
+import os
+from typing import Dict, Iterator, List, Optional
+
+import numpy as np
+
+from hm_retrieval_tpu.data.shard_writer import MANIFEST_NAME
+
+logger = logging.getLogger(__name__)
+
+Batch = Dict[str, np.ndarray]
+
+
+class ShardDataset:
+    """Reads the shards written by ShardWriter
+    (ref: TFRecordDatasetFactory, pkg/modelling/tfrecord_dataset.py:59-98).
+    """
+
+    def __init__(self, dirpath: str):
+        self.dirpath = dirpath
+        self.shard_paths: List[str] = sorted(
+            glob.glob(os.path.join(dirpath, "shard_*.npz"))
+        )
+        if not self.shard_paths:
+            raise FileNotFoundError(f"no shards found in {dirpath}")
+        manifest_path = os.path.join(dirpath, MANIFEST_NAME)
+        with open(manifest_path) as f:
+            self.manifest = json.load(f)
+        self.num_rows: int = self.manifest["num_rows"]
+        self.feature_dtypes: Dict[str, str] = self.manifest["features"]
+
+    # ------------------------------------------------------------------
+    def load_all(self) -> Batch:
+        """Materialize every column (used for candidate catalogs, which are
+        small; the reference does the same eager materialization for its
+        index, ref: brute_force.py:97)."""
+        parts = [dict(np.load(p)) for p in self.shard_paths]
+        return {
+            k: np.concatenate([p[k] for p in parts])
+            for k in parts[0].keys()
+        }
+
+    def iter_batches(
+        self,
+        batch_size: int,
+        shuffle_buffer_size: int = 0,
+        seed: Optional[int] = None,
+        drop_remainder: bool = False,
+    ) -> Iterator[Batch]:
+        """Stream fixed-size batches.
+
+        Shuffling is two-level and fully vectorized: shard order is permuted,
+        then rows are permuted within a rolling buffer of
+        ``>= shuffle_buffer_size`` rows (chunk-granular analog of tf.data's
+        reservoir shuffle, ref: tfrecord_dataset.py:90-97).
+        """
+        rng = (
+            np.random.default_rng(seed) if seed is not None else None
+        )
+        order = np.arange(len(self.shard_paths))
+        if shuffle_buffer_size > 0 and rng is not None:
+            rng.shuffle(order)
+
+        pending: Optional[Batch] = None  # carry-over rows
+
+        def emit(buf: Batch) -> Iterator[Batch]:
+            nonlocal pending
+            n = len(next(iter(buf.values())))
+            if shuffle_buffer_size > 0 and rng is not None:
+                perm = rng.permutation(n)
+                buf = {k: v[perm] for k, v in buf.items()}
+            full = (n // batch_size) * batch_size
+            for lo in range(0, full, batch_size):
+                yield {
+                    k: v[lo : lo + batch_size] for k, v in buf.items()
+                }
+            if full < n:
+                pending = {k: v[full:] for k, v in buf.items()}
+            else:
+                pending = None
+
+        chunk: List[Batch] = []
+        chunk_rows = 0
+        target = max(shuffle_buffer_size, batch_size)
+        for si in order:
+            shard = dict(np.load(self.shard_paths[si]))
+            chunk.append(shard)
+            chunk_rows += len(next(iter(shard.values())))
+            if chunk_rows >= target:
+                buf = {
+                    k: np.concatenate([c[k] for c in chunk])
+                    for k in chunk[0].keys()
+                }
+                if pending is not None:
+                    buf = {
+                        k: np.concatenate([pending[k], v])
+                        for k, v in buf.items()
+                    }
+                yield from emit(buf)
+                chunk, chunk_rows = [], 0
+
+        # Flush the tail.
+        tail_parts = ([] if pending is None else [pending]) + chunk
+        if tail_parts:
+            buf = {
+                k: np.concatenate([p[k] for p in tail_parts])
+                for k in tail_parts[0].keys()
+            }
+            yield from emit(buf)
+            if pending is not None and not drop_remainder:
+                yield pending
+        pending = None

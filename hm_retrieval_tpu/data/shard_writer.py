@@ -1,0 +1,85 @@
+"""Columnar shard serialization: encoded int32/float32 npz shards.
+
+TPU-native replacement for the reference's TFRecord writer
+(ref: pkg/tfrecord_writer/tfrecord_writer.py:44-126). Redesign rationale
+(SURVEY §7): JAX has no string tensors, so the string->id vocabulary lookup
+happens HERE, once, at write time — categorical columns are stored as dense
+``int32`` ids (0 = OOV) and numeric columns as ``float32``. Rows are written
+as columnar numpy arrays in ``shard_{n:05d}.npz`` files capped at
+``max_rows`` rows each (the ``max_tfrecord_rows`` analog,
+ref: tfrecord_writer.py:105-126), plus a ``manifest.json``.
+
+Unlike the reference's per-row Python proto loop (flagged as the
+serialization hot loop, SURVEY §3.4), encoding is fully vectorized.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+from typing import Dict, List
+
+import numpy as np
+import pandas as pd
+
+from hm_retrieval_tpu.schema.features import Feature, FeatureKind
+
+logger = logging.getLogger(__name__)
+
+MANIFEST_NAME = "manifest.json"
+
+
+class ShardWriter:
+    """Writes a DataFrame as encoded columnar shards
+    (ref: TFRecordWriter, pkg/tfrecord_writer/tfrecord_writer.py:80-126).
+    """
+
+    def __init__(self, features: List[Feature], max_rows: int = 100_000):
+        if max_rows <= 0:
+            raise ValueError("max_rows must be positive")
+        self.features = features
+        self.max_rows = max_rows
+
+    def encode_dataframe(
+        self, df: pd.DataFrame
+    ) -> Dict[str, np.ndarray]:
+        """Vectorized encode of every schema feature column."""
+        out: Dict[str, np.ndarray] = {}
+        for f in self.features:
+            if f.kind == FeatureKind.CATEGORICAL:
+                out[f.name] = f.encode(df[f.name].to_numpy())
+            else:
+                out[f.name] = df[f.name].to_numpy(dtype=np.float32)
+        return out
+
+    def write_shards(self, df: pd.DataFrame, dirpath: str) -> int:
+        """Encode + write; returns the number of shards written."""
+        os.makedirs(dirpath, exist_ok=True)
+        columns = self.encode_dataframe(df)
+        n = len(df)
+        num_shards = max(1, -(-n // self.max_rows))
+        for s in range(num_shards):
+            lo, hi = s * self.max_rows, min((s + 1) * self.max_rows, n)
+            shard = {k: v[lo:hi] for k, v in columns.items()}
+            np.savez(
+                os.path.join(dirpath, f"shard_{s:05d}.npz"), **shard
+            )
+        manifest = {
+            "num_rows": n,
+            "num_shards": num_shards,
+            "features": {
+                f.name: (
+                    "int32"
+                    if f.kind == FeatureKind.CATEGORICAL
+                    else "float32"
+                )
+                for f in self.features
+            },
+        }
+        with open(os.path.join(dirpath, MANIFEST_NAME), "w") as fp:
+            json.dump(manifest, fp, indent=2)
+        logger.info(
+            "Wrote %d rows as %d shard(s) to %s", n, num_shards, dirpath
+        )
+        return num_shards

@@ -1,0 +1,171 @@
+"""ETL tests: date-filter boundaries (mirrors the reference's
+tests/test_transformations.py:22-36) + join/split runner behavior."""
+
+import pandas as pd
+import pytest
+
+from hm_retrieval_tpu.etl.runner import build_schema_runner, etl_runner
+from hm_retrieval_tpu.etl.transformations import (
+    date_filter,
+    load_dataframe,
+    save_dataframe,
+)
+from hm_retrieval_tpu.schema import (
+    Feature,
+    FeatureFamily,
+    FeatureKind,
+    ModelConfig,
+    Schema,
+    TrainingConfig,
+)
+from hm_retrieval_tpu.utils.settings import Settings
+
+
+@pytest.fixture
+def frame():
+    return pd.DataFrame(
+        {
+            "t_dat": [
+                "2020-01-01",
+                "2020-01-02",
+                "2020-01-03",
+                "2020-01-04",
+                "2020-01-05",
+            ],
+            "v": [1, 2, 3, 4, 5],
+        }
+    )
+
+
+class TestDateFilter:
+    def test_inclusive_both_ends(self, frame):
+        out = date_filter(frame, "t_dat", "2020-01-02", "2020-01-04")
+        assert list(out["v"]) == [2, 3, 4]
+
+    def test_empty_range(self, frame):
+        out = date_filter(frame, "t_dat", "2021-01-01", "2021-02-01")
+        assert len(out) == 0
+
+    def test_full_range(self, frame):
+        out = date_filter(frame, "t_dat", "2020-01-01", "2020-01-05")
+        assert len(out) == 5
+
+
+class TestIO:
+    def test_csv_round_trip(self, frame, tmp_path):
+        p = str(tmp_path / "x.csv")
+        save_dataframe(frame, p, date_column="t_dat")
+        loaded = load_dataframe(p)
+        assert list(loaded["v"]) == [1, 2, 3, 4, 5]
+
+    def test_parquet_round_trip(self, frame, tmp_path):
+        p = str(tmp_path / "x.parquet")
+        save_dataframe(frame, p)
+        loaded = load_dataframe(p, columns=["v"])
+        assert list(loaded.columns) == ["v"]
+
+
+def write_raw_hm(tmp_path):
+    """Tiny synthetic H&M-shaped raw CSVs."""
+    tx = pd.DataFrame(
+        {
+            "t_dat": [
+                "2020-01-01",
+                "2020-01-02",
+                "2020-02-01",
+                "2020-02-02",
+            ],
+            "customer_id": ["u1", "u2", "u1", "u9"],
+            "article_id": ["a1", "a2", "a1", "a3"],
+        }
+    )
+    articles = pd.DataFrame(
+        {
+            "article_id": ["a1", "a2", "a3"],
+            "product_type_name": ["shirt", "pants", "shirt"],
+        }
+    )
+    customers = pd.DataFrame(
+        {"customer_id": ["u1", "u2"], "age": [30.0, 40.0]}
+    )
+    tx.to_csv(tmp_path / "transactions.csv", index=False)
+    articles.to_csv(tmp_path / "articles.csv", index=False)
+    customers.to_csv(tmp_path / "customers.csv", index=False)
+
+
+def make_settings(tmp_path) -> Settings:
+    d = str(tmp_path)
+    return Settings(
+        transactions_filepath=f"{d}/transactions.csv",
+        articles_filepath=f"{d}/articles.csv",
+        customers_filepath=f"{d}/customers.csv",
+        train_start_date="2020-01-01",
+        train_end_date="2020-01-31",
+        test_start_date="2020-02-01",
+        test_end_date="2020-02-28",
+        train_data_filepath=f"{d}/processed/train.parquet",
+        test_data_filepath=f"{d}/processed/test.parquet",
+        schema_dirpath=f"{d}/schema",
+        train_shards_dirpath=f"{d}/shards/train",
+        test_shards_dirpath=f"{d}/shards/test",
+        candidate_shards_dirpath=f"{d}/shards/candidates",
+    )
+
+
+def make_hm_schema() -> Schema:
+    return Schema(
+        features=[
+            Feature(
+                "customer_id",
+                FeatureKind.CATEGORICAL,
+                FeatureFamily.QUERY,
+                embedding_size=4,
+            ),
+            Feature("age", FeatureKind.NUMERIC, FeatureFamily.QUERY),
+            Feature(
+                "article_id",
+                FeatureKind.CATEGORICAL,
+                FeatureFamily.CANDIDATE,
+                embedding_size=4,
+            ),
+            Feature(
+                "product_type_name",
+                FeatureKind.CATEGORICAL,
+                FeatureFamily.CANDIDATE,
+                embedding_size=2,
+            ),
+        ],
+        model_config=ModelConfig(joint_embedding_size=8, ks=[1, 2]),
+        training_config=TrainingConfig(),
+        candidate_id_col="article_id",
+    )
+
+
+class TestEtlRunner:
+    def test_join_and_split(self, tmp_path):
+        write_raw_hm(tmp_path)
+        settings = make_settings(tmp_path)
+        etl_runner(settings)
+        train = pd.read_parquet(settings.train_data_filepath)
+        test = pd.read_parquet(settings.test_data_filepath)
+        # u9 has no customer row -> inner join drops that transaction.
+        assert len(train) == 2 and len(test) == 1
+        assert set(train.columns) >= {
+            "t_dat",
+            "customer_id",
+            "article_id",
+            "product_type_name",
+            "age",
+        }
+
+    def test_build_schema_runner(self, tmp_path):
+        write_raw_hm(tmp_path)
+        settings = make_settings(tmp_path)
+        etl_runner(settings)
+        schema = make_hm_schema()
+        build_schema_runner(settings, schema)
+        loaded = Schema.load(settings.schema_dirpath)
+        # train has a1 twice (u1 2020-01-01, but wait: 2020-02-01 is test)
+        assert loaded.feature("article_id").has_vocab
+        assert loaded.logq is not None
+        assert loaded.logq[0] == 0.0
