@@ -1,0 +1,73 @@
+"""Per-feature embedding front-end (the reference InputLayer analog).
+
+Re-design of ref: pkg/modelling/layers/input_layer.py:24-69 for TPU:
+
+- No on-device string lookup: batches arrive as int32 ids (0 = OOV) from the
+  data pipeline, so the front-end is a pure table gather per categorical
+  feature, concatenated with float32 numeric passthrough columns into one
+  ``(B, sum(E) + n_numeric)`` activation — same output contract as the
+  reference's concat (ref: input_layer.py:61-69).
+- Tables are plain pytree leaves: ``{feature_name: (V+1, E) float32}``.
+  Row 0 is the OOV row, mirroring ``Embedding(len(vocab)+1, emb)``
+  (ref: input_layer.py:37-41).
+- Init matches Keras Embedding's default ``uniform(-0.05, 0.05)``.
+
+Under GSPMD these tables can be row-sharded over the mesh; see
+parallel/sharded_embedding.py for the explicit all-to-all path.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hm_retrieval_tpu.schema.features import Feature, FeatureKind
+
+Params = Dict[str, jax.Array]
+
+
+def init_embedding_params(
+    rng: jax.Array, features: List[Feature], dtype=jnp.float32
+) -> Params:
+    params: Params = {}
+    cats = [f for f in features if f.kind == FeatureKind.CATEGORICAL]
+    keys = jax.random.split(rng, max(1, len(cats)))
+    for key, f in zip(keys, cats):
+        params[f.name] = jax.random.uniform(
+            key,
+            (f.num_embeddings, f.embedding_size),
+            minval=-0.05,
+            maxval=0.05,
+            dtype=dtype,
+        )
+    return params
+
+
+def embedding_output_dim(features: List[Feature]) -> int:
+    dim = 0
+    for f in features:
+        if f.kind == FeatureKind.CATEGORICAL:
+            dim += f.embedding_size
+        else:
+            dim += 1
+    return dim
+
+
+def apply_embeddings(
+    params: Params,
+    features: List[Feature],
+    batch: Dict[str, jax.Array],
+) -> jax.Array:
+    """Gather + concat. ``batch[name]`` is (B,) int32 for categorical
+    features and (B,) float32 for numeric ones."""
+    parts = []
+    for f in features:
+        x = batch[f.name]
+        if f.kind == FeatureKind.CATEGORICAL:
+            parts.append(jnp.take(params[f.name], x, axis=0))
+        else:
+            parts.append(x.astype(jnp.float32)[:, None])
+    return jnp.concatenate(parts, axis=-1)
