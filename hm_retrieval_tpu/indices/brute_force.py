@@ -1,0 +1,192 @@
+"""Exact brute-force retrieval index.
+
+Re-design of ref: pkg/modelling/indices/brute_force.py. The reference wraps
+a Keras model around an eagerly-materialized candidate matrix and string-id
+gather (ref: brute_force.py:31-83); here the index is **data + a kernel**
+(SURVEY §7): an int32 id vector + an (N, E) embedding matrix, scored by an
+exact fused dot+top-k op. Identifiers are ints; the id->string mapping lives
+host-side in the schema vocab (decode at the serving edge).
+
+The candidate matrix is padded to a multiple of the scoring chunk so the
+streaming kernel sees static aligned shapes; pad rows use -inf-equivalent
+scores via a validity mask baked into a score bias.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+from functools import partial
+from typing import Callable, Dict, Iterable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hm_retrieval_tpu.ops.topk import topk_dot
+
+logger = logging.getLogger(__name__)
+
+Batch = Dict[str, jax.Array]
+
+
+def _pad_to_multiple(n: int, m: int) -> int:
+    return ((n + m - 1) // m) * m
+
+
+class BruteForceIndex:
+    """Exact top-k retrieval over the full candidate catalog
+    (ref: BruteForceIndex, brute_force.py:6-115).
+
+    Parameters
+    ----------
+    k:
+        Number of neighbours returned (ref takes max(ks),
+        pkg/modelling/runner.py:95-99).
+    identifiers:
+        (N,) int32 candidate ids, aligned with ``embeddings`` rows.
+    embeddings:
+        (N, E) float32 candidate embeddings.
+    """
+
+    PAD_MULTIPLE = 1024
+
+    def __init__(
+        self,
+        k: int,
+        identifiers: np.ndarray,
+        embeddings,
+    ):
+        identifiers = np.asarray(identifiers)
+        embeddings = np.asarray(embeddings, dtype=np.float32)
+        if identifiers.ndim != 1 or embeddings.ndim != 2:
+            raise ValueError("identifiers must be (N,), embeddings (N, E)")
+        if len(identifiers) != len(embeddings):
+            raise ValueError("identifiers and embeddings length mismatch")
+        if k <= 0:
+            raise ValueError("k must be positive")
+        self.k = int(k)
+        self.num_candidates = len(identifiers)
+        if self.num_candidates < k:
+            raise ValueError(
+                f"k={k} exceeds number of candidates "
+                f"{self.num_candidates}"
+            )
+        # Pad to an MXU/lane-aligned multiple with zero rows; the score
+        # bias makes pad rows unselectable.
+        n_pad = _pad_to_multiple(
+            self.num_candidates, self.PAD_MULTIPLE
+        )
+        emb = np.zeros((n_pad, embeddings.shape[1]), np.float32)
+        emb[: self.num_candidates] = embeddings
+        bias = np.zeros((n_pad,), np.float32)
+        bias[self.num_candidates:] = -np.inf
+        ids = np.zeros((n_pad,), identifiers.dtype)
+        ids[: self.num_candidates] = identifiers
+
+        self.identifiers = jnp.asarray(ids)
+        self.embeddings = jnp.asarray(emb)
+        self._score_bias = jnp.asarray(bias)
+
+    # ------------------------------------------------------------------
+    # Build (ref: runner.py:88-93 embeds the catalog in batches, then
+    # brute_force.py:31-52 materializes it)
+    # ------------------------------------------------------------------
+    @classmethod
+    def build_from_batches(
+        cls,
+        k: int,
+        candidate_id_col: str,
+        embed_fn: Callable[[Batch], jax.Array],
+        batches: Iterable[Batch],
+        batch_size: int,
+    ) -> "BruteForceIndex":
+        """Embed the full catalog with the candidate tower, batching to a
+        fixed padded size so the tower compiles exactly once."""
+        ids_parts, emb_parts = [], []
+        for batch in batches:
+            n = len(batch[candidate_id_col])
+            if n < batch_size:  # pad the tail batch, trim after
+                batch = {
+                    key: np.pad(
+                        np.asarray(v), (0, batch_size - n)
+                    )
+                    for key, v in batch.items()
+                }
+            emb = np.asarray(embed_fn(batch))[:n]
+            ids_parts.append(np.asarray(batch[candidate_id_col])[:n])
+            emb_parts.append(emb)
+        identifiers = np.concatenate(ids_parts)
+        embeddings = np.concatenate(emb_parts)
+        logger.info(
+            "Built brute-force index over %d candidates (dim %d)",
+            len(identifiers),
+            embeddings.shape[1],
+        )
+        return cls(k, identifiers, embeddings)
+
+    # ------------------------------------------------------------------
+    # Query (ref: brute_force.py:54-83)
+    # ------------------------------------------------------------------
+    @staticmethod
+    @partial(jax.jit, static_argnames=("k",))
+    def _topk(query_embeddings, embeddings, score_bias, identifiers, k):
+        scores = (
+            jnp.dot(
+                query_embeddings,
+                embeddings.T,
+                preferred_element_type=jnp.float32,
+            )
+            + score_bias[None, :]
+        )
+        top_scores, top_idx = jax.lax.top_k(scores, k)
+        return top_scores, jnp.take(identifiers, top_idx)
+
+    def topk_from_embeddings(self, query_embeddings: jax.Array):
+        """(B, E) query embeddings -> ((B, k) scores, (B, k) int ids)."""
+        return self._topk(
+            query_embeddings,
+            self.embeddings,
+            self._score_bias,
+            self.identifiers,
+            self.k,
+        )
+
+    def query(
+        self,
+        query_fn: Callable[[Batch], jax.Array],
+        batch: Batch,
+    ) -> jax.Array:
+        """Full serving path: embed queries, score, select
+        (ref: brute_force.py:108-114). Returns (B, k) int ids."""
+        _, ids = self.topk_from_embeddings(query_fn(batch))
+        return ids
+
+    # ------------------------------------------------------------------
+    # Persistence (ref saves a SavedModel; here: arrays + meta,
+    # SURVEY §5.4 "export = plain arrays + a tiny serving fn")
+    # ------------------------------------------------------------------
+    def save(self, dirpath: str) -> None:
+        os.makedirs(dirpath, exist_ok=True)
+        np.savez(
+            os.path.join(dirpath, "index.npz"),
+            identifiers=np.asarray(
+                self.identifiers[: self.num_candidates]
+            ),
+            embeddings=np.asarray(
+                self.embeddings[: self.num_candidates]
+            ),
+        )
+        with open(os.path.join(dirpath, "meta.json"), "w") as f:
+            json.dump(
+                {"k": self.k, "type": "brute_force"}, f
+            )
+        logger.info("Saved brute-force index to %s", dirpath)
+
+    @classmethod
+    def load(cls, dirpath: str) -> "BruteForceIndex":
+        with open(os.path.join(dirpath, "meta.json")) as f:
+            meta = json.load(f)
+        with np.load(os.path.join(dirpath, "index.npz")) as z:
+            return cls(meta["k"], z["identifiers"], z["embeddings"])

@@ -1,0 +1,221 @@
+"""Index + retrieval-op tests.
+
+Mirrors the reference's test strategy (ref: tests/test_indices.py:105-132 —
+fake embedding model, hand-computed expected top-k incl. an OOV query) and
+adds exactness checks for the chunked/merged top-k ops the reference never
+had.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pandas as pd
+import pytest
+
+from hm_retrieval_tpu.indices.brute_force import BruteForceIndex
+from hm_retrieval_tpu.indices.static_index import StaticIndex
+from hm_retrieval_tpu.ops.topk import merge_topk, topk_dot, topk_dot_chunked
+from hm_retrieval_tpu.schema import (
+    Feature,
+    FeatureFamily,
+    FeatureKind,
+    ModelConfig,
+    Schema,
+    TrainingConfig,
+)
+
+
+class MockEmbeddingTable:
+    """Deterministic fake query tower: id -> fixed embedding
+    (the reference's MockEmbeddingModel pattern,
+    ref: tests/test_indices.py:8-60)."""
+
+    def __init__(self, table: np.ndarray):
+        self.table = jnp.asarray(table, jnp.float32)
+
+    def __call__(self, batch):
+        return jnp.take(self.table, batch["qid"], axis=0)
+
+
+class TestBruteForceIndex:
+    def setup_method(self):
+        # candidates: id 1 -> e1, id 2 -> e2, id 3 -> e1+e2
+        self.cand_ids = np.array([1, 2, 3], np.int32)
+        self.cand_emb = np.array(
+            [[1.0, 0.0], [0.0, 1.0], [1.0, 1.0]], np.float32
+        )
+        # queries: q0 along e1, q1 along e2, q2 diagonal, q3 OOV (zeros)
+        self.query_table = np.array(
+            [[2.0, 0.0], [0.0, 2.0], [1.0, 1.0], [0.0, 0.0]],
+            np.float32,
+        )
+
+    def test_hand_computed_top2(self):
+        idx = BruteForceIndex(2, self.cand_ids, self.cand_emb)
+        model = MockEmbeddingTable(self.query_table)
+        batch = {"qid": jnp.array([0, 1, 2], jnp.int32)}
+        ids = np.asarray(idx.query(model, batch))
+        # q0: scores (2, 0, 2) -> top2 = {1 or 3 first}, both score 2
+        assert set(ids[0]) == {1, 3}
+        # q1: scores (0, 2, 2) -> {2, 3}
+        assert set(ids[1]) == {2, 3}
+        # q2: scores (1, 1, 2) -> 3 first, then 1 or 2
+        assert ids[2][0] == 3
+
+    def test_oov_query_returns_valid_ids(self):
+        idx = BruteForceIndex(2, self.cand_ids, self.cand_emb)
+        model = MockEmbeddingTable(self.query_table)
+        ids = np.asarray(
+            idx.query(model, {"qid": jnp.array([3], jnp.int32)})
+        )
+        # all scores 0 but pad rows must never be returned
+        assert set(ids[0]) <= {1, 2, 3}
+
+    def test_padding_never_selected(self):
+        # N=3 pads to 1024; with k=3 all real rows must come back.
+        idx = BruteForceIndex(3, self.cand_ids, self.cand_emb)
+        scores, ids = idx.topk_from_embeddings(
+            jnp.zeros((5, 2), jnp.float32)
+        )
+        assert set(np.asarray(ids).ravel()) == {1, 2, 3}
+        assert np.isfinite(np.asarray(scores)).all()
+
+    def test_k_larger_than_catalog_rejected(self):
+        with pytest.raises(ValueError, match="exceeds"):
+            BruteForceIndex(5, self.cand_ids, self.cand_emb)
+
+    def test_save_load_round_trip(self, tmp_path):
+        idx = BruteForceIndex(2, self.cand_ids, self.cand_emb)
+        idx.save(str(tmp_path / "idx"))
+        loaded = BruteForceIndex.load(str(tmp_path / "idx"))
+        assert loaded.k == 2
+        assert loaded.num_candidates == 3
+        q = jnp.asarray([[1.0, 0.0]])
+        np.testing.assert_array_equal(
+            np.asarray(idx.topk_from_embeddings(q)[1]),
+            np.asarray(loaded.topk_from_embeddings(q)[1]),
+        )
+
+    def test_build_from_batches_pads_tail(self):
+        batches = [
+            {
+                "article_id": np.array([1, 2], np.int32),
+                "pt": np.array([0, 1], np.int32),
+            },
+            {
+                "article_id": np.array([3], np.int32),
+                "pt": np.array([1], np.int32),
+            },
+        ]
+
+        def embed(b):
+            # embedding = one-hot-ish of article_id
+            out = np.zeros((len(b["article_id"]), 4), np.float32)
+            out[np.arange(len(out)), np.asarray(b["article_id"])] = 1.0
+            return jnp.asarray(out)
+
+        idx = BruteForceIndex.build_from_batches(
+            1, "article_id", embed, iter(batches), batch_size=2
+        )
+        assert idx.num_candidates == 3
+        _, ids = idx.topk_from_embeddings(
+            jnp.asarray([[0, 0, 0, 1.0], [0, 1.0, 0, 0]])
+        )
+        np.testing.assert_array_equal(
+            np.asarray(ids).ravel(), [3, 1]
+        )
+
+
+class TestTopkOps:
+    def test_chunked_matches_full(self, rng):
+        q = rng.normal(size=(8, 16)).astype(np.float32)
+        c = rng.normal(size=(4096, 16)).astype(np.float32)
+        s0, i0 = topk_dot(jnp.asarray(q), jnp.asarray(c), 10)
+        s1, i1 = topk_dot_chunked(
+            jnp.asarray(q), jnp.asarray(c), 10, chunk_size=512
+        )
+        np.testing.assert_allclose(
+            np.asarray(s0), np.asarray(s1), rtol=1e-5
+        )
+        # indices may tie-break differently; scores must agree -> compare
+        # score-sorted sets via gather
+        np.testing.assert_allclose(
+            np.sort(np.asarray(s0), axis=1),
+            np.sort(np.asarray(s1), axis=1),
+            rtol=1e-5,
+        )
+
+    def test_chunked_requires_divisible(self, rng):
+        q = jnp.zeros((2, 4))
+        c = jnp.zeros((100, 4))
+        with pytest.raises(ValueError, match="divisible"):
+            topk_dot_chunked(q, c, 5, chunk_size=64)
+
+    def test_merge_topk_exact(self, rng):
+        q = rng.normal(size=(6, 8)).astype(np.float32)
+        c = rng.normal(size=(1024, 8)).astype(np.float32)
+        k = 7
+        s_full, i_full = topk_dot(jnp.asarray(q), jnp.asarray(c), k)
+        # shard into 4 pieces of 256, per-shard topk, then merge
+        shard_s, shard_i = [], []
+        for s in range(4):
+            lo = s * 256
+            ss, si = topk_dot(
+                jnp.asarray(q), jnp.asarray(c[lo : lo + 256]), k
+            )
+            shard_s.append(ss)
+            shard_i.append(si + lo)
+        ms, mi = merge_topk(
+            jnp.stack(shard_s), jnp.stack(shard_i), k
+        )
+        np.testing.assert_allclose(
+            np.asarray(s_full), np.asarray(ms), rtol=1e-5
+        )
+
+
+class TestStaticIndex:
+    def test_query_tiles(self):
+        idx = StaticIndex(np.array([5, 3, 1], np.int32))
+        out = idx.query(batch_size=2, k=2)
+        np.testing.assert_array_equal(out, [[5, 3], [5, 3]])
+
+    def test_k_too_large(self):
+        idx = StaticIndex(np.array([5], np.int32))
+        with pytest.raises(ValueError):
+            idx.query(2, k=3)
+
+    def test_popularity_build_order(self):
+        schema = Schema(
+            features=[
+                Feature(
+                    "customer_id",
+                    FeatureKind.CATEGORICAL,
+                    FeatureFamily.QUERY,
+                    embedding_size=2,
+                    vocab=np.array(["u"]),
+                ),
+                Feature(
+                    "article_id",
+                    FeatureKind.CATEGORICAL,
+                    FeatureFamily.CANDIDATE,
+                    embedding_size=2,
+                    vocab=np.array(["a", "b", "c"]),
+                ),
+            ],
+            model_config=ModelConfig(joint_embedding_size=2, ks=[1]),
+            training_config=TrainingConfig(),
+        )
+        series = pd.Series(["b", "b", "b", "c", "c", "a", "zz"])
+        idx = StaticIndex.build_popularity_index_from_series(
+            series, schema, k=3
+        )
+        # popularity order b(3) > c(2) > a(1); zz is out-of-vocab
+        # encoded ids: a->1, b->2, c->3
+        np.testing.assert_array_equal(idx.identifiers, [2, 3, 1])
+
+    def test_save_load(self, tmp_path):
+        idx = StaticIndex(np.array([4, 2], np.int32))
+        idx.save(str(tmp_path / "s"))
+        loaded = StaticIndex.load(str(tmp_path / "s"))
+        np.testing.assert_array_equal(
+            loaded.identifiers, idx.identifiers
+        )
