@@ -1,0 +1,64 @@
+"""Host -> device feeding with background prefetch.
+
+The part the single-device reference never needed (SURVEY §7 hard part #6:
+input-pipeline throughput so host work doesn't starve the chips): a
+bounded-queue background thread encodes/shards the next batches while the
+device runs the current step, overlapping host ETL with device compute.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Dict, Iterator, Optional
+
+import jax
+import numpy as np
+
+from hm_retrieval_tpu.parallel.mesh import shard_batch
+
+Batch = Dict[str, np.ndarray]
+
+
+def device_feed(
+    batches: Iterator[Batch],
+    mesh=None,
+    prefetch: int = 2,
+) -> Iterator[Dict[str, jax.Array]]:
+    """Wrap a host batch iterator into sharded device arrays with
+    ``prefetch`` batches in flight."""
+
+    def put(b: Batch):
+        if mesh is None:
+            return {k: jax.device_put(np.asarray(v)) for k, v in b.items()}
+        return shard_batch(
+            {k: np.asarray(v) for k, v in b.items()}, mesh
+        )
+
+    if prefetch <= 0:
+        for b in batches:
+            yield put(b)
+        return
+
+    q: "queue.Queue" = queue.Queue(maxsize=prefetch)
+    _END = object()
+    err: list = []
+
+    def worker():
+        try:
+            for b in batches:
+                q.put(put(b))
+        except Exception as e:  # surface in consumer
+            err.append(e)
+        finally:
+            q.put(_END)
+
+    t = threading.Thread(target=worker, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is _END:
+            break
+        yield item
+    if err:
+        raise err[0]

@@ -26,13 +26,18 @@ logger = logging.getLogger(__name__)
 def _batch_hits(
     retrieved: jax.Array,  # (B, max_k) int ids
     true_ids: jax.Array,   # (B,) int ids
+    num_valid: jax.Array,  # scalar: rows beyond this are padding
     ks: tuple,
 ) -> jax.Array:
     """(len(ks),) hit counts: row i hits at K if true_ids[i] appears in
-    retrieved[i, :K] (ref: index_recall.py:52-58)."""
+    retrieved[i, :K] (ref: index_recall.py:52-58). Rows >= num_valid are
+    ignored (padded eval tails keep batch shapes static on TPU)."""
     eq = retrieved == true_ids[:, None]  # (B, max_k)
+    row_valid = (
+        jnp.arange(retrieved.shape[0]) < num_valid
+    )  # (B,)
     # cumulative any over the k axis: hit within first K columns
-    cum = jnp.cumsum(eq, axis=1) > 0  # (B, max_k) monotone
+    cum = (jnp.cumsum(eq, axis=1) > 0) & row_valid[:, None]
     return jnp.stack([cum[:, k - 1].sum() for k in ks])
 
 
@@ -48,7 +53,9 @@ class IndexRecall:
         self.hits = np.zeros(len(self.ks), np.int64)
         self.seen = 0
 
-    def update(self, retrieved_ids, true_ids) -> None:
+    def update(self, retrieved_ids, true_ids, num_valid=None) -> None:
+        """``num_valid``: count only the first N rows (padded tail
+        batches); defaults to the full batch."""
         retrieved_ids = jnp.asarray(retrieved_ids)
         true_ids = jnp.asarray(true_ids)
         if retrieved_ids.shape[1] < self.max_k:
@@ -56,10 +63,18 @@ class IndexRecall:
                 f"retrieved width {retrieved_ids.shape[1]} < max k "
                 f"{self.max_k}"
             )
-        self.hits += np.asarray(
-            _batch_hits(retrieved_ids, true_ids, self.ks)
+        n = (
+            retrieved_ids.shape[0] if num_valid is None else int(num_valid)
         )
-        self.seen += retrieved_ids.shape[0]
+        self.hits += np.asarray(
+            _batch_hits(
+                retrieved_ids,
+                true_ids,
+                jnp.asarray(n, jnp.int32),
+                self.ks,
+            )
+        )
+        self.seen += n
 
     def results(self) -> Dict[int, float]:
         if self.seen == 0:

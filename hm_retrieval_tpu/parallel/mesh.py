@@ -1,0 +1,86 @@
+"""Device mesh + sharding helpers.
+
+The reference has no multi-device support at all (SURVEY §2.9); this module
+is the foundation of the new distributed layer. Axes:
+
+- ``"data"``: batch/data parallelism. Batches are sharded ``P("data")``;
+  params replicated ``P()``; XLA/GSPMD inserts the gradient psum and the
+  candidate all-gather for global-batch negatives over ICI.
+- optional ``"model"``: row-sharding axis for large embedding tables
+  (parallel/sharded_embedding.py).
+
+Multi-host: call ``jax.distributed.initialize()`` before ``make_mesh`` and
+the same code spans every host's devices (SURVEY §5.8).
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+logger = logging.getLogger(__name__)
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+
+def make_mesh(
+    data: Optional[int] = None,
+    model: int = 1,
+    devices: Optional[Sequence] = None,
+) -> Mesh:
+    """Mesh over the given (default: all) devices.
+
+    ``data=None`` uses every device not claimed by ``model``.
+    """
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    if n % model != 0:
+        raise ValueError(f"{n} devices not divisible by model={model}")
+    if data is None:
+        data = n // model
+    if data * model != n:
+        raise ValueError(
+            f"mesh {data}x{model} != {n} available devices"
+        )
+    arr = np.asarray(devices).reshape(data, model)
+    mesh = Mesh(arr, (DATA_AXIS, MODEL_AXIS))
+    logger.info(
+        "Created mesh %s over %d device(s)", dict(mesh.shape), n
+    )
+    return mesh
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Leading axis split over the data axis."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def row_sharded(mesh: Mesh, axis: str = MODEL_AXIS) -> NamedSharding:
+    """Row-shard a (V, E) table over the given axis."""
+    return NamedSharding(mesh, P(axis, None))
+
+
+def shard_batch(batch, mesh: Mesh):
+    """Host numpy batch dict -> device arrays sharded over the data axis.
+
+    Single-process path uses device_put; multi-host feeding goes through
+    jax.make_array_from_process_local_data with per-host shards.
+    """
+    sharding = batch_sharding(mesh)
+    if jax.process_count() == 1:
+        return {
+            k: jax.device_put(v, sharding) for k, v in batch.items()
+        }
+    return {
+        k: jax.make_array_from_process_local_data(sharding, v)
+        for k, v in batch.items()
+    }

@@ -1,0 +1,234 @@
+"""Train + eval orchestration: the main pipeline stage.
+
+Analog of ref: pkg/modelling/runner.py:18-107 with the TPU-native loop:
+
+- schema + shard datasets in, jitted train step over a device mesh
+- per-epoch: build brute-force index from the candidate tower, evaluate
+  Recall@K at epoch START (reference behavior, ref: runner.py:85-105), then
+  train one epoch
+- after the FINAL epoch the index is rebuilt and evaluated again — fixing
+  the reference quirk where post-training recall was never computed
+  (SURVEY §3.2 note on ref: runner.py:107)
+- Orbax checkpoint per epoch + npz model/tower export + index artifact
+- TensorBoard scalars + a profiler trace window (ref: runner.py:63-69)
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from typing import Dict, Optional
+
+import jax
+import numpy as np
+
+from hm_retrieval_tpu.data.dataset import ShardDataset
+from hm_retrieval_tpu.data.device_feed import device_feed
+from hm_retrieval_tpu.indices.brute_force import BruteForceIndex
+from hm_retrieval_tpu.metrics.index_recall import IndexRecall
+from hm_retrieval_tpu.models.optimizer_factory import OptimizerFactory
+from hm_retrieval_tpu.models.two_tower import (
+    TwoTowerModel,
+    create_train_state,
+    make_train_step,
+)
+from hm_retrieval_tpu.parallel.mesh import replicated, shard_batch
+from hm_retrieval_tpu.runners.checkpoint import (
+    CheckpointManager,
+    export_model,
+)
+from hm_retrieval_tpu.schema.schema import Schema
+from hm_retrieval_tpu.utils.profiling import StepProfiler
+from hm_retrieval_tpu.utils.settings import Settings
+from hm_retrieval_tpu.utils.summary import MetricWriter
+
+logger = logging.getLogger(__name__)
+
+
+def _pad_batch(batch: Dict[str, np.ndarray], size: int):
+    """Pad a tail batch to the static batch size; returns (batch, n)."""
+    n = len(next(iter(batch.values())))
+    if n == size:
+        return batch, n
+    return (
+        {
+            k: np.pad(np.asarray(v), (0, size - n))
+            for k, v in batch.items()
+        },
+        n,
+    )
+
+
+def build_index(
+    model: TwoTowerModel,
+    params,
+    candidate_ds: ShardDataset,
+    candidate_batch_size: int,
+    k: int,
+) -> BruteForceIndex:
+    """Embed the full catalog with the candidate tower in fixed-size
+    batches (ref: runner.py:88-93 + brute_force.py:31-52)."""
+    cand_fn = jax.jit(model.candidate_forward)
+
+    def batches():
+        for b in candidate_ds.iter_batches(candidate_batch_size):
+            yield b
+
+    return BruteForceIndex.build_from_batches(
+        k,
+        model.candidate_id_col,
+        lambda b: cand_fn(params, {k_: jax.numpy.asarray(v) for k_, v in b.items()}),
+        batches(),
+        candidate_batch_size,
+    )
+
+
+def evaluate(
+    model: TwoTowerModel,
+    params,
+    index: BruteForceIndex,
+    test_ds: ShardDataset,
+    test_batch_size: int,
+    ks,
+    epoch: Optional[int] = None,
+    writer: Optional[MetricWriter] = None,
+) -> Dict[int, float]:
+    """Streaming Recall@K over the test set (ref: runner.py:95-101).
+    Tail batches are padded to keep device shapes static; padded rows are
+    masked out of the metric."""
+    usable_ks = [k for k in ks if k <= index.num_candidates]
+    dropped = [k for k in ks if k > index.num_candidates]
+    if dropped:
+        logger.warning(
+            "Dropping ks %s > catalog size %d",
+            dropped,
+            index.num_candidates,
+        )
+    metric = IndexRecall(usable_ks)
+    query_fn = jax.jit(model.query_forward)
+    cid = model.candidate_id_col
+    for batch in test_ds.iter_batches(test_batch_size):
+        batch, n = _pad_batch(batch, test_batch_size)
+        jbatch = {
+            k_: jax.numpy.asarray(v) for k_, v in batch.items()
+        }
+        q = query_fn(params, jbatch)
+        _, ids = index.topk_from_embeddings(q)
+        metric.update(ids, jbatch[cid], num_valid=n)
+    return metric.log_metric(epoch, writer)
+
+
+def modelling_runner(
+    settings: Settings,
+    mesh=None,
+    resume: bool = False,
+) -> Dict[str, Dict[int, float]]:
+    """Full train+eval stage (ref: modelling_runner,
+    pkg/modelling/runner.py:18-107). Returns {"initial": recalls,
+    "final": recalls}."""
+    schema = Schema.load(settings.schema_dirpath)
+    tc = schema.training_config
+    mc = schema.model_config
+
+    train_ds = ShardDataset(settings.train_shards_dirpath)
+    test_ds = ShardDataset(settings.test_shards_dirpath)
+    cand_ds = ShardDataset(settings.candidate_shards_dirpath)
+
+    model = TwoTowerModel.create_from_schema(schema)
+    optimizer = OptimizerFactory.get_optimizer(
+        tc.optimizer_name, tc.optimizer_kwargs
+    )
+    state = create_train_state(model, optimizer, tc.seed)
+    if mesh is not None:
+        state = jax.device_put(state, replicated(mesh))
+
+    ckpt = CheckpointManager(settings.checkpoint_dirpath)
+    if resume and ckpt.latest_step() is not None:
+        state = ckpt.restore(state)
+
+    writer = MetricWriter(settings.tensorboard_logs_dir)
+    profiler = StepProfiler(
+        settings.tensorboard_logs_dir, settings.profile_steps
+    )
+    step_fn = make_train_step(model, optimizer)
+    index_k = max(mc.ks)
+
+    results: Dict[str, Dict[int, float]] = {}
+    global_step = int(state.step)
+    t_train, examples = 0.0, 0
+    for epoch in range(tc.epochs):
+        # --- eval at epoch start (ref: runner.py:85-101) ---
+        index = build_index(
+            model,
+            state.params,
+            cand_ds,
+            tc.candidate_batch_size,
+            min(index_k, cand_ds.num_rows),
+        )
+        res = evaluate(
+            model,
+            state.params,
+            index,
+            test_ds,
+            tc.test_batch_size,
+            mc.ks,
+            epoch=epoch,
+            writer=writer,
+        )
+        if epoch == 0:
+            results["initial"] = res
+
+        # --- train one epoch (ref: runner.py:103) ---
+        t0 = time.time()
+        batches = train_ds.iter_batches(
+            tc.train_batch_size,
+            shuffle_buffer_size=tc.shuffle_buffer_size,
+            seed=tc.seed + epoch,
+            drop_remainder=True,
+        )
+        for dev_batch in device_feed(batches, mesh=mesh):
+            state, metrics = step_fn(state, dev_batch)
+            global_step += 1
+            profiler.on_step(global_step)
+            if global_step % 100 == 0:
+                loss = float(metrics["loss"])
+                writer.add_scalar("train/loss", loss, global_step)
+                logger.info(
+                    "step %d | loss %.4f", global_step, loss
+                )
+            examples += tc.train_batch_size
+        jax.block_until_ready(state.params)
+        t_train += time.time() - t0
+
+        ckpt.save(global_step, state)
+        export_model(state.params, settings.model_dirpath)
+
+    profiler.close()
+    if t_train > 0:
+        logger.info(
+            "Training throughput: %.0f examples/s",
+            examples / t_train,
+        )
+
+    # --- final eval after training (fixes ref: runner.py:107 quirk) ---
+    index = build_index(
+        model,
+        state.params,
+        cand_ds,
+        tc.candidate_batch_size,
+        min(index_k, cand_ds.num_rows),
+    )
+    results["final"] = evaluate(
+        model,
+        state.params,
+        index,
+        test_ds,
+        tc.test_batch_size,
+        mc.ks,
+        epoch=tc.epochs,
+        writer=writer,
+    )
+    index.save(settings.index_dirpath)
+    ckpt.close()
+    writer.close()
+    return results

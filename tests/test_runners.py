@@ -1,0 +1,230 @@
+"""End-to-end runner tests: the five-stage pipeline on tiny synthetic data,
+checkpoint/resume, and export round-trip (SURVEY §4 gap: the reference never
+tested its runners)."""
+
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from hm_retrieval_tpu.models import (
+    OptimizerFactory,
+    TwoTowerModel,
+    create_train_state,
+    make_train_step,
+)
+from hm_retrieval_tpu.runners import (
+    CheckpointManager,
+    baseline_modelling_runner,
+    build_schema_runner,
+    etl_runner,
+    export_model,
+    modelling_runner,
+    shard_writer_runner,
+)
+from hm_retrieval_tpu.schema import (
+    Feature,
+    FeatureFamily,
+    FeatureKind,
+    ModelConfig,
+    Schema,
+    TrainingConfig,
+)
+from hm_retrieval_tpu.utils.pytree_io import (
+    load_pytree_npz,
+    save_pytree_npz,
+)
+from hm_retrieval_tpu.utils.settings import Settings
+from hm_retrieval_tpu.utils.synthetic import generate_hm_like_csvs
+
+
+@pytest.fixture(scope="module")
+def pipeline(tmp_path_factory):
+    """Run the full five-stage pipeline once for this module."""
+    d = str(tmp_path_factory.mktemp("pipeline"))
+    raw = generate_hm_like_csvs(
+        os.path.join(d, "raw"),
+        n_transactions=6000,
+        n_customers=300,
+        n_articles=120,
+        seed=1,
+    )
+    settings = Settings(
+        transactions_filepath=raw["transactions"],
+        articles_filepath=raw["articles"],
+        customers_filepath=raw["customers"],
+        train_start_date=raw["train_start"],
+        train_end_date=raw["train_end"],
+        test_start_date=raw["test_start"],
+        test_end_date=raw["test_end"],
+        train_data_filepath=f"{d}/processed/train.parquet",
+        test_data_filepath=f"{d}/processed/test.parquet",
+        schema_dirpath=f"{d}/schema",
+        train_shards_dirpath=f"{d}/shards/train",
+        test_shards_dirpath=f"{d}/shards/test",
+        candidate_shards_dirpath=f"{d}/shards/candidates",
+        model_dirpath=f"{d}/artifacts/model",
+        index_dirpath=f"{d}/artifacts/index",
+        baseline_index_dirpath=f"{d}/artifacts/baseline",
+        checkpoint_dirpath=f"{d}/artifacts/ckpt",
+        tensorboard_logs_dir=None,
+        profile_steps=None,
+    )
+    schema = Schema(
+        features=[
+            Feature(
+                "customer_id",
+                FeatureKind.CATEGORICAL,
+                FeatureFamily.QUERY,
+                embedding_size=16,
+            ),
+            Feature(
+                "article_id",
+                FeatureKind.CATEGORICAL,
+                FeatureFamily.CANDIDATE,
+                embedding_size=16,
+            ),
+            Feature(
+                "product_type_name",
+                FeatureKind.CATEGORICAL,
+                FeatureFamily.CANDIDATE,
+                embedding_size=4,
+            ),
+        ],
+        model_config=ModelConfig(
+            joint_embedding_size=16, ks=[10, 50]
+        ),
+        training_config=TrainingConfig(
+            train_batch_size=128,
+            test_batch_size=256,
+            candidate_batch_size=64,
+            epochs=2,
+            shuffle_buffer_size=4096,
+            optimizer_kwargs={"learning_rate": 0.05},
+        ),
+        candidate_id_col="article_id",
+    )
+    etl_runner(settings)
+    build_schema_runner(settings, schema)
+    shard_writer_runner(settings)
+    results = modelling_runner(settings)
+    baseline = baseline_modelling_runner(settings)
+    return settings, results, baseline
+
+
+class TestPipeline:
+    def test_training_improves_recall(self, pipeline):
+        _, results, _ = pipeline
+        assert (
+            results["final"][50] > results["initial"][50]
+        ), results
+
+    def test_model_beats_random(self, pipeline):
+        # random recall@10 over 120 articles ~ 0.083
+        _, results, _ = pipeline
+        assert results["final"][10] > 0.15
+
+    def test_baseline_computed(self, pipeline):
+        _, _, baseline = pipeline
+        assert 0.0 < baseline[50] <= 1.0
+
+    def test_artifacts_exist(self, pipeline):
+        settings, _, _ = pipeline
+        for p in [
+            f"{settings.model_dirpath}/two_tower/params.npz",
+            f"{settings.model_dirpath}/query_tower/params.npz",
+            f"{settings.model_dirpath}/candidate_tower/params.npz",
+            f"{settings.index_dirpath}/index.npz",
+            f"{settings.baseline_index_dirpath}/identifiers.npy",
+        ]:
+            assert os.path.exists(p), p
+
+    def test_exported_params_match_live(self, pipeline):
+        settings, _, _ = pipeline
+        loaded = load_pytree_npz(
+            f"{settings.model_dirpath}/two_tower/params.npz"
+        )
+        assert set(loaded.keys()) == {
+            "query_tower",
+            "candidate_tower",
+        }
+        assert isinstance(loaded["query_tower"]["dense"], list)
+
+
+class TestCheckpointResume:
+    def _tiny_model(self):
+        feats_q = [
+            Feature(
+                "uid",
+                FeatureKind.CATEGORICAL,
+                FeatureFamily.QUERY,
+                embedding_size=4,
+                vocab=np.array(["a", "b"]),
+            )
+        ]
+        feats_c = [
+            Feature(
+                "article_id",
+                FeatureKind.CATEGORICAL,
+                FeatureFamily.CANDIDATE,
+                embedding_size=4,
+                vocab=np.array(["x", "y"]),
+            )
+        ]
+        return TwoTowerModel(
+            query_features=feats_q,
+            candidate_features=feats_c,
+            candidate_id_col="article_id",
+            joint_embedding_size=4,
+        )
+
+    def test_save_restore_round_trip(self, tmp_path):
+        model = self._tiny_model()
+        opt = OptimizerFactory.get_optimizer(
+            "adagrad", {"learning_rate": 0.1}
+        )
+        state = create_train_state(model, opt, seed=0)
+        step = make_train_step(model, opt)
+        batch = {
+            "uid": np.array([1, 2], np.int32),
+            "article_id": np.array([1, 2], np.int32),
+        }
+        for _ in range(3):
+            state, _ = step(state, batch)
+
+        mgr = CheckpointManager(str(tmp_path / "ckpt"))
+        mgr.save(int(state.step), state)
+        mgr.close()
+
+        mgr2 = CheckpointManager(str(tmp_path / "ckpt"))
+        assert mgr2.latest_step() == 3
+        fresh = create_train_state(model, opt, seed=0)
+        restored = mgr2.restore(fresh)
+        mgr2.close()
+        assert int(restored.step) == 3
+        for a, b in zip(
+            jax.tree.leaves(restored.params),
+            jax.tree.leaves(state.params),
+        ):
+            np.testing.assert_allclose(a, b)
+        # resumed training continues identically
+        s1, m1 = step(restored, batch)
+        assert np.isfinite(float(m1["loss"]))
+
+
+class TestPytreeIO:
+    def test_nested_round_trip(self, tmp_path):
+        tree = {
+            "a": {"b": np.arange(3), "c": [np.ones(2), np.zeros(1)]},
+            "d": np.float32(2.5) * np.ones((2, 2)),
+        }
+        p = str(tmp_path / "t.npz")
+        save_pytree_npz(tree, p)
+        loaded = load_pytree_npz(p)
+        np.testing.assert_array_equal(loaded["a"]["b"], np.arange(3))
+        assert isinstance(loaded["a"]["c"], list)
+        np.testing.assert_array_equal(loaded["a"]["c"][0], np.ones(2))
+        np.testing.assert_array_equal(
+            loaded["d"], 2.5 * np.ones((2, 2))
+        )
