@@ -1,0 +1,41 @@
+from hm_retrieval_tpu.parallel.data_parallel import (
+    make_dp_train_step,
+    replicate_state,
+)
+from hm_retrieval_tpu.parallel.distributed_topk import (
+    make_distributed_topk,
+    shard_candidates,
+)
+from hm_retrieval_tpu.parallel.global_negatives import (
+    make_global_negatives_loss,
+)
+from hm_retrieval_tpu.parallel.mesh import (
+    DATA_AXIS,
+    MODEL_AXIS,
+    batch_sharding,
+    make_mesh,
+    replicated,
+    row_sharded,
+    shard_batch,
+)
+from hm_retrieval_tpu.parallel.sharded_embedding import (
+    make_sharded_lookup,
+    shard_table,
+)
+
+__all__ = [
+    "DATA_AXIS",
+    "MODEL_AXIS",
+    "make_mesh",
+    "batch_sharding",
+    "replicated",
+    "row_sharded",
+    "shard_batch",
+    "make_dp_train_step",
+    "replicate_state",
+    "make_global_negatives_loss",
+    "make_sharded_lookup",
+    "shard_table",
+    "make_distributed_topk",
+    "shard_candidates",
+]

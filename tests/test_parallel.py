@@ -1,0 +1,236 @@
+"""Distributed-layer tests on the 8-fake-device CPU mesh (SURVEY §4: the
+rebuild's multi-device tests without a real pod): DP-vs-single-device
+numerical equivalence, shard_map global-negatives loss == global loss,
+sharded embedding lookup == dense gather (fwd + grad), distributed top-k ==
+single-device top-k."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hm_retrieval_tpu.models import (
+    OptimizerFactory,
+    TwoTowerModel,
+    create_train_state,
+    make_train_step,
+)
+from hm_retrieval_tpu.ops.topk import topk_dot
+from hm_retrieval_tpu.parallel import (
+    make_distributed_topk,
+    make_dp_train_step,
+    make_global_negatives_loss,
+    make_mesh,
+    make_sharded_lookup,
+    replicate_state,
+    shard_batch,
+    shard_candidates,
+    shard_table,
+)
+from hm_retrieval_tpu.schema import Feature, FeatureFamily, FeatureKind
+
+
+def cat(name, family, emb, V):
+    return Feature(
+        name,
+        FeatureKind.CATEGORICAL,
+        family,
+        embedding_size=emb,
+        vocab=np.array([f"{name}_{i}" for i in range(V)]),
+    )
+
+
+@pytest.fixture(scope="module")
+def model():
+    logq = np.zeros(41, np.float32)
+    logq[1:] = np.log(
+        np.linspace(0.3, 0.001, 40).astype(np.float32)
+    )
+    return TwoTowerModel(
+        query_features=[cat("uid", FeatureFamily.QUERY, 8, 100)],
+        candidate_features=[
+            cat("article_id", FeatureFamily.CANDIDATE, 8, 40)
+        ],
+        candidate_id_col="article_id",
+        joint_embedding_size=16,
+        query_tower_units=[32],
+        logq=logq,
+    )
+
+
+def global_batch(rng, B=64):
+    return {
+        "uid": rng.integers(0, 101, B).astype(np.int32),
+        "article_id": rng.integers(0, 41, B).astype(np.int32),
+    }
+
+
+class TestMesh:
+    def test_requires_divisible(self):
+        with pytest.raises(ValueError):
+            make_mesh(model=3)
+
+    def test_shapes(self):
+        m = make_mesh()
+        assert m.shape == {"data": 8, "model": 1}
+        m2 = make_mesh(data=2, model=4)
+        assert m2.shape == {"data": 2, "model": 4}
+
+
+class TestDataParallel:
+    def test_dp_step_matches_single_device(self, model, rng):
+        batch = global_batch(rng)
+        opt = OptimizerFactory.get_optimizer(
+            "adagrad", {"learning_rate": 0.05}
+        )
+
+        # single device
+        state1 = create_train_state(model, opt, seed=0)
+        step1 = make_train_step(model, opt)
+        jb = {k: jnp.asarray(v) for k, v in batch.items()}
+        state1, m1 = step1(state1, jb)
+
+        # 8-way DP
+        mesh = make_mesh()
+        state8 = replicate_state(
+            create_train_state(model, opt, seed=0), mesh
+        )
+        step8 = make_dp_train_step(model, opt, mesh)
+        sb = shard_batch(batch, mesh)
+        state8, m8 = step8(state8, sb)
+
+        np.testing.assert_allclose(
+            float(m1["loss"]), float(m8["loss"]), rtol=1e-5
+        )
+        for a, b in zip(
+            jax.tree.leaves(state1.params),
+            jax.tree.leaves(state8.params),
+        ):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6
+            )
+
+
+class TestGlobalNegatives:
+    def test_shard_map_loss_equals_global_loss(self, model, rng):
+        batch = global_batch(rng)
+        params = model.init_params(3)
+        expected = float(
+            model.loss(
+                params, {k: jnp.asarray(v) for k, v in batch.items()}
+            )
+        )
+        mesh = make_mesh()  # data=8
+        loss_fn = make_global_negatives_loss(model, mesh)
+        got = float(
+            jax.jit(loss_fn)(params, shard_batch(batch, mesh))
+        )
+        np.testing.assert_allclose(got, expected, rtol=1e-5)
+
+    def test_gradients_match(self, model, rng):
+        batch = global_batch(rng)
+        params = model.init_params(3)
+        jb = {k: jnp.asarray(v) for k, v in batch.items()}
+        g_ref = jax.grad(model.loss)(params, jb)
+        mesh = make_mesh()
+        loss_fn = make_global_negatives_loss(model, mesh)
+        g_dist = jax.jit(jax.grad(loss_fn))(
+            params, shard_batch(batch, mesh)
+        )
+        for a, b in zip(
+            jax.tree.leaves(g_ref), jax.tree.leaves(g_dist)
+        ):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6
+            )
+
+
+class TestShardedEmbedding:
+    @pytest.mark.parametrize("strategy", ["psum", "all_to_all"])
+    def test_lookup_matches_dense(self, strategy, rng):
+        mesh = make_mesh(data=1, model=8)
+        V, E, B = 100, 16, 64
+        table = rng.normal(size=(V, E)).astype(np.float32)
+        sharded = shard_table(table, mesh)
+        lookup = make_sharded_lookup(mesh, strategy)
+        ids = rng.integers(0, V, B).astype(np.int32)
+        out = jax.jit(lookup)(sharded, jnp.asarray(ids))
+        np.testing.assert_allclose(
+            np.asarray(out), table[ids], rtol=1e-6
+        )
+
+    def test_lookup_with_dp_axis(self, rng):
+        # data=2, model=4: each data shard looks up its own half.
+        mesh = make_mesh(data=2, model=4)
+        V, E, B = 64, 8, 32
+        table = rng.normal(size=(V, E)).astype(np.float32)
+        sharded = shard_table(table, mesh)
+        lookup = make_sharded_lookup(mesh, "psum")
+        ids = rng.integers(0, V, B).astype(np.int32)
+        from hm_retrieval_tpu.parallel.mesh import batch_sharding
+
+        ids_arr = jax.device_put(ids, batch_sharding(mesh))
+        out = jax.jit(lookup)(sharded, ids_arr)
+        np.testing.assert_allclose(
+            np.asarray(out), table[ids], rtol=1e-6
+        )
+
+    def test_gradient_matches_dense(self, rng):
+        mesh = make_mesh(data=1, model=8)
+        V, E, B = 40, 4, 16
+        table = rng.normal(size=(V, E)).astype(np.float32)
+        ids = rng.integers(0, V, B).astype(np.int32)
+        w = rng.normal(size=(B, E)).astype(np.float32)
+
+        def dense_loss(t):
+            return jnp.sum(jnp.take(t, ids, axis=0) * w)
+
+        g_ref = jax.grad(dense_loss)(jnp.asarray(table))
+
+        lookup = make_sharded_lookup(mesh, "psum")
+        sharded = shard_table(table, mesh)
+
+        def dist_loss(t):
+            return jnp.sum(lookup(t, jnp.asarray(ids)) * w)
+
+        g_dist = jax.jit(jax.grad(dist_loss))(sharded)
+        np.testing.assert_allclose(
+            np.asarray(g_dist)[:V], np.asarray(g_ref), rtol=1e-5
+        )
+
+
+class TestDistributedTopk:
+    def test_matches_single_device(self, rng):
+        mesh = make_mesh(data=1, model=8)
+        N, E, B, k = 1000, 16, 8, 10  # N not divisible by 8 -> padding
+        emb = rng.normal(size=(N, E)).astype(np.float32)
+        ids = np.arange(1, N + 1, dtype=np.int32)
+        q = rng.normal(size=(B, E)).astype(np.float32)
+
+        s_ref, i_ref = topk_dot(jnp.asarray(q), jnp.asarray(emb), k)
+        ids_ref = ids[np.asarray(i_ref)]
+
+        semb, sids, sbias = shard_candidates(emb, ids, mesh)
+        topk = make_distributed_topk(mesh, k)
+        s_dist, ids_dist = jax.jit(topk)(
+            jnp.asarray(q), semb, sids, sbias
+        )
+        np.testing.assert_allclose(
+            np.asarray(s_ref), np.asarray(s_dist), rtol=1e-5
+        )
+        # ties could reorder ids; verify via scores only where unique
+        np.testing.assert_array_equal(
+            np.asarray(ids_dist), ids_ref
+        )
+
+    def test_padding_never_selected(self, rng):
+        mesh = make_mesh(data=1, model=8)
+        N, E, k = 12, 4, 12  # tiny: heavy padding per shard
+        emb = rng.normal(size=(N, E)).astype(np.float32)
+        ids = np.arange(1, N + 1, dtype=np.int32)
+        q = np.zeros((3, E), np.float32)
+        semb, sids, sbias = shard_candidates(emb, ids, mesh)
+        topk = make_distributed_topk(mesh, k)
+        s, got = jax.jit(topk)(jnp.asarray(q), semb, sids, sbias)
+        assert set(np.asarray(got).ravel()) == set(ids)
+        assert np.isfinite(np.asarray(s)).all()
