@@ -1,0 +1,236 @@
+"""Benchmark harness — run on the real TPU chip.
+
+Prints ONE JSON line:
+    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Headline metric: two-tower training throughput (examples/s/chip) at the
+reference configuration scale (H&M: ~1.37M customers, ~105k articles,
+B=512, logQ in-batch softmax — ref: main.py:32-111, README.md). Also
+measures full-corpus exact top-100 retrieval queries/s; details land in
+bench_results.json.
+
+Method notes (tunnel-aware):
+- all timing loops run ON DEVICE via lax.scan with data generated/varied on
+  device, then one host sync — host<->device latency through the axon relay
+  is ~150ms and would otherwise dominate;
+- identical repeated dispatches can be served from a cache by the remote
+  runtime, so every iteration varies its inputs.
+
+``vs_baseline`` compares against the TF/Keras reference architecture
+executing the same workload on this host's CPU (measured by
+benchmarks/tf_reference_baseline.py, recorded in BASELINE.md).
+"""
+
+import argparse
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# Reference-architecture throughput on this host's CPU (TF/Keras, B=512,
+# same tower shapes), measured 2026-08-17 by
+# benchmarks/tf_reference_baseline.py — see BASELINE.md.
+TF_CPU_BASELINE_EXAMPLES_PER_S = 1280.3
+
+
+def hm_scale_model():
+    from hm_retrieval_tpu.models import TwoTowerModel
+    from hm_retrieval_tpu.schema import (
+        Feature,
+        FeatureFamily,
+        FeatureKind,
+    )
+
+    n_customers, n_articles = 1_371_980, 105_542
+
+    # Feature with direct table size (bypasses building a 1.4M-entry
+    # string vocab — vocab identity is irrelevant for throughput).
+    class SizedFeature(Feature):
+        def __init__(self, name, family, emb, V):
+            super().__init__(
+                name,
+                FeatureKind.CATEGORICAL,
+                family,
+                embedding_size=emb,
+                vocab=np.array(["x"]),
+            )
+            self._V = V
+
+        @property
+        def num_embeddings(self):
+            return self._V + 1
+
+    rng = np.random.default_rng(0)
+    probs = rng.dirichlet(np.full(n_articles, 0.5))
+    logq = np.zeros(n_articles + 1, np.float32)
+    logq[1:] = np.log(probs + 1e-12).astype(np.float32)
+
+    model = TwoTowerModel(
+        query_features=[
+            SizedFeature(
+                "customer_id", FeatureFamily.QUERY, 128, n_customers
+            ),
+        ],
+        candidate_features=[
+            SizedFeature(
+                "article_id", FeatureFamily.CANDIDATE, 128, n_articles
+            ),
+            SizedFeature(
+                "product_type_name", FeatureFamily.CANDIDATE, 16, 130
+            ),
+            SizedFeature(
+                "colour_group_name", FeatureFamily.CANDIDATE, 8, 50
+            ),
+        ],
+        candidate_id_col="article_id",
+        joint_embedding_size=128,
+        query_tower_units=[256],
+        candidate_tower_units=[256],
+        logq=logq,
+    )
+    return model, n_customers, n_articles
+
+
+def bench_training(steps: int, batch: int):
+    from hm_retrieval_tpu.models import (
+        OptimizerFactory,
+        create_train_state,
+    )
+
+    model, n_customers, n_articles = hm_scale_model()
+    opt = OptimizerFactory.get_optimizer(
+        "adagrad", {"learning_rate": 0.05}
+    )
+    state = create_train_state(model, opt, seed=0)
+
+    def loss_step(state, key):
+        kc, ka, kp, kcol = jax.random.split(key, 4)
+        b = {
+            "customer_id": jax.random.randint(
+                kc, (batch,), 0, n_customers + 1, dtype=jnp.int32
+            ),
+            "article_id": jax.random.randint(
+                ka, (batch,), 0, n_articles + 1, dtype=jnp.int32
+            ),
+            "product_type_name": jax.random.randint(
+                kp, (batch,), 0, 131, dtype=jnp.int32
+            ),
+            "colour_group_name": jax.random.randint(
+                kcol, (batch,), 0, 51, dtype=jnp.int32
+            ),
+        }
+        import optax
+
+        loss, grads = jax.value_and_grad(model.loss)(state.params, b)
+        updates, opt_state = opt.update(
+            grads, state.opt_state, state.params
+        )
+        params = optax.apply_updates(state.params, updates)
+        return (
+            state._replace(
+                params=params,
+                opt_state=opt_state,
+                step=state.step + 1,
+            ),
+            loss,
+        )
+
+    @jax.jit
+    def run(state, key):
+        def body(carry, i):
+            st, _ = carry
+            st, loss = loss_step(st, jax.random.fold_in(key, i))
+            return (st, loss), None
+        (st, loss), _ = jax.lax.scan(
+            body, (state, 0.0), jnp.arange(steps)
+        )
+        return st, loss
+
+    key = jax.random.PRNGKey(0)
+    t0 = time.time()
+    state, loss = run(state, key)
+    jax.block_until_ready(loss)
+    first = time.time() - t0
+    t0 = time.time()
+    state, loss = run(state, jax.random.PRNGKey(1))
+    float(loss)  # host sync
+    dt = time.time() - t0
+    eps = steps * batch / dt
+    return {
+        "train_examples_per_s_per_chip": eps,
+        "train_step_ms": dt / steps * 1e3,
+        "train_compile_s": first - dt,
+        "final_loss": float(loss),
+    }
+
+
+def bench_retrieval(iters: int, B: int, N: int, E: int, K: int):
+    from hm_retrieval_tpu.ops.exact_topk import exact_topk_scores
+
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(rng.normal(size=(B, E)).astype(np.float32))
+    c = jnp.asarray(rng.normal(size=(N, E)).astype(np.float32))
+    jax.block_until_ready((q, c))
+
+    @jax.jit
+    def run(q, c):
+        def body(carry, i):
+            qq = jnp.roll(q, i, axis=0)
+            s = jnp.dot(
+                qq, c.T, preferred_element_type=jnp.float32
+            )
+            v, idx, r = exact_topk_scores(s, K)
+            return carry + v[0, 0] + idx[0, 0] + r, None
+        acc, _ = jax.lax.scan(body, 0.0, jnp.arange(iters))
+        return acc
+
+    float(run(q, c))  # compile + warm
+    t0 = time.time()
+    float(run(q, c))
+    dt = (time.time() - t0) / iters
+    return {
+        "retrieval_queries_per_s": B / dt,
+        "retrieval_ms_per_batch": dt * 1e3,
+        "retrieval_config": {"B": B, "N": N, "E": E, "K": K},
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=50)
+    ap.add_argument("--batch", type=int, default=512)
+    ap.add_argument("--skip-retrieval", action="store_true")
+    args = ap.parse_args()
+
+    details = {
+        "device": str(jax.devices()[0]),
+        "backend": jax.default_backend(),
+    }
+    details.update(bench_training(args.steps, args.batch))
+    if not args.skip_retrieval:
+        details.update(
+            bench_retrieval(20, 1024, 131072, 128, 100)
+        )
+
+    with open("bench_results.json", "w") as f:
+        json.dump(details, f, indent=2)
+
+    value = details["train_examples_per_s_per_chip"]
+    print(
+        json.dumps(
+            {
+                "metric": "train_examples_per_s_per_chip",
+                "value": round(value, 1),
+                "unit": "examples/s/chip",
+                "vs_baseline": round(
+                    value / TF_CPU_BASELINE_EXAMPLES_PER_S, 3
+                ),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -57,7 +57,14 @@ class BruteForceIndex:
         k: int,
         identifiers: np.ndarray,
         embeddings,
+        method: str = "auto",
     ):
+        """``method``: "full" = one lax.top_k over (B, N); "partial_reduce"
+        = iterative exact PartialReduce refinement (ops/exact_topk.py, ~10x
+        faster on TPU for large N); "auto" = partial_reduce when the padded
+        catalog exceeds 16k rows."""
+        if method not in ("auto", "full", "partial_reduce"):
+            raise ValueError(f"unknown method {method!r}")
         identifiers = np.asarray(identifiers)
         embeddings = np.asarray(embeddings, dtype=np.float32)
         if identifiers.ndim != 1 or embeddings.ndim != 2:
@@ -88,6 +95,11 @@ class BruteForceIndex:
         self.identifiers = jnp.asarray(ids)
         self.embeddings = jnp.asarray(emb)
         self._score_bias = jnp.asarray(bias)
+        if method == "auto":
+            method = (
+                "partial_reduce" if n_pad > 16384 else "full"
+            )
+        self.method = method
 
     # ------------------------------------------------------------------
     # Build (ref: runner.py:88-93 embeds the catalog in batches, then
@@ -130,8 +142,10 @@ class BruteForceIndex:
     # Query (ref: brute_force.py:54-83)
     # ------------------------------------------------------------------
     @staticmethod
-    @partial(jax.jit, static_argnames=("k",))
-    def _topk(query_embeddings, embeddings, score_bias, identifiers, k):
+    @partial(jax.jit, static_argnames=("k", "method"))
+    def _topk(
+        query_embeddings, embeddings, score_bias, identifiers, k, method
+    ):
         scores = (
             jnp.dot(
                 query_embeddings,
@@ -140,7 +154,14 @@ class BruteForceIndex:
             )
             + score_bias[None, :]
         )
-        top_scores, top_idx = jax.lax.top_k(scores, k)
+        if method == "partial_reduce":
+            from hm_retrieval_tpu.ops.exact_topk import (
+                exact_topk_scores,
+            )
+
+            top_scores, top_idx, _ = exact_topk_scores(scores, k)
+        else:
+            top_scores, top_idx = jax.lax.top_k(scores, k)
         return top_scores, jnp.take(identifiers, top_idx)
 
     def topk_from_embeddings(self, query_embeddings: jax.Array):
@@ -151,6 +172,7 @@ class BruteForceIndex:
             self._score_bias,
             self.identifiers,
             self.k,
+            self.method,
         )
 
     def query(

@@ -83,6 +83,31 @@ class TestBruteForceIndex:
         with pytest.raises(ValueError, match="exceeds"):
             BruteForceIndex(5, self.cand_ids, self.cand_emb)
 
+    def test_partial_reduce_method_matches_full(self, rng):
+        N, E, B, k = 3000, 16, 8, 12
+        emb = rng.normal(size=(N, E)).astype(np.float32)
+        ids = np.arange(1, N + 1, dtype=np.int32)
+        q = rng.normal(size=(B, E)).astype(np.float32)
+        full = BruteForceIndex(k, ids, emb, method="full")
+        fast = BruteForceIndex(k, ids, emb, method="partial_reduce")
+        s1, i1 = full.topk_from_embeddings(jnp.asarray(q))
+        s2, i2 = fast.topk_from_embeddings(jnp.asarray(q))
+        np.testing.assert_allclose(
+            np.sort(np.asarray(s1), axis=1),
+            np.sort(np.asarray(s2), axis=1),
+            rtol=1e-5,
+        )
+        assert (
+            np.sort(np.asarray(i1), axis=1)
+            == np.sort(np.asarray(i2), axis=1)
+        ).all()
+
+    def test_unknown_method_rejected(self):
+        with pytest.raises(ValueError, match="method"):
+            BruteForceIndex(
+                1, self.cand_ids, self.cand_emb, method="hnsw"
+            )
+
     def test_save_load_round_trip(self, tmp_path):
         idx = BruteForceIndex(2, self.cand_ids, self.cand_emb)
         idx.save(str(tmp_path / "idx"))
