@@ -50,7 +50,9 @@ class ShardWriter:
             if f.kind == FeatureKind.CATEGORICAL:
                 out[f.name] = f.encode(df[f.name].to_numpy())
             else:
-                out[f.name] = df[f.name].to_numpy(dtype=np.float32)
+                out[f.name] = f.transform_numeric(
+                    df[f.name].to_numpy()
+                )
         return out
 
     def write_shards(self, df: pd.DataFrame, dirpath: str) -> int:

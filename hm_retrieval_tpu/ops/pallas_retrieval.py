@@ -1,0 +1,216 @@
+"""Pallas fused retrieval kernel: matmul + strided bin-max reduction.
+
+The speed-of-light design for exact full-corpus top-k (SURVEY §7 hard part
+#3: streaming top-k without materializing (B, N) in HBM). Per round the
+kernel streams the candidate matrix once (HBM-bandwidth bound), computing
+on the fly:
+
+    for each chunk c of L candidate columns:          # grid over N/L
+        scores = Q @ C_chunk^T            (MXU)       # (B, L) in VMEM
+        bin b <- column c*L + b                        # strided binning
+        m[b], a[b] <- running (max score, argmax) per bin, per row
+
+so HBM traffic is just C (plus the (B, L) accumulators once), never the
+(B, N) score matrix. Inside each bin, elements are totally ordered
+lexicographically by (score desc, index asc); each refinement round
+excludes everything >=_lex the per-bin threshold revealed by the previous
+round, so round r yields every bin's exact r-th element — the total order
+guarantees progress even through duplicated scores. The same leaderboard-
+merge / stop-rule argument as ops/exact_topk.py applies (round max <
+current k-th => every hidden element is dominated), giving EXACT top-k
+VALUES in 1 + max-collision-depth rounds (3-5 in practice). Ties at the
+k-th value resolve positionally (like lax.top_k), so the returned index
+set is one valid exact top-k set.
+
+Layout choices (v5e, 16MB VMEM): the whole query block (B<=1024, E<=256)
+stays resident; L=512 bins keep scores + accumulators + thresholds ~12MB.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = float("-inf")  # plain python scalars: jnp constants would be
+BIG_IDX = 2**31 - 1      # captured tracers inside the pallas kernel
+
+
+def _bin_max_kernel(
+    q_ref,      # (B, E) VMEM, resident
+    c_ref,      # (L, E) VMEM, current chunk
+    thr_s_ref,  # (B, L) VMEM: previous round's bin score (+inf round 1)
+    thr_i_ref,  # (B, L) VMEM: previous round's bin argmax (-1 round 1)
+    m_ref,      # out (B, L): this round's bin maxima
+    a_ref,      # out (B, L): this round's bin argmaxima
+    *,
+    L: int,
+    n_valid: int,
+):
+    c = pl.program_id(0)
+
+    @pl.when(c == 0)
+    def _():
+        m_ref[:] = jnp.full(m_ref.shape, NEG_INF, m_ref.dtype)
+        a_ref[:] = jnp.full(a_ref.shape, BIG_IDX, a_ref.dtype)
+
+    scores = jnp.dot(
+        q_ref[:], c_ref[:].T, preferred_element_type=jnp.float32
+    )  # (B, L)
+    B = scores.shape[0]
+    col = jax.lax.broadcasted_iota(jnp.int32, (B, L), 1)
+    flat = col + c * L  # global candidate index per column
+
+    # Eligible under the lexicographic order (score desc, index asc):
+    # strictly below threshold, i.e. score < thr_s OR equal score with a
+    # LARGER index. Round 1: thr_s=+inf accepts everything.
+    thr_s = thr_s_ref[:]
+    thr_i = thr_i_ref[:]
+    elig = (scores < thr_s) | (
+        (scores == thr_s) & (flat > thr_i)
+    )
+    valid = flat < n_valid
+    masked = jnp.where(elig & valid, scores, NEG_INF)
+
+    # Running lexicographic max per bin.
+    m = m_ref[:]
+    a = a_ref[:]
+    take = (masked > m) | ((masked == m) & (flat < a))
+    m_ref[:] = jnp.where(take, masked, m)
+    a_ref[:] = jnp.where(take, flat, a)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("L", "n_valid", "interpret")
+)
+def bin_max_round(
+    q: jax.Array,       # (B, E)
+    c_padded: jax.Array,  # (N_pad, E), N_pad % L == 0
+    thr_s: jax.Array,   # (B, L)
+    thr_i: jax.Array,   # (B, L)
+    L: int,
+    n_valid: int,
+    interpret: bool = False,
+):
+    """One streaming pass: per-bin lexicographic maxima below threshold."""
+    B, E = q.shape
+    n_pad = c_padded.shape[0]
+    assert n_pad % L == 0
+    grid = (n_pad // L,)
+    flops = 2 * B * n_pad * E
+    return pl.pallas_call(
+        functools.partial(
+            _bin_max_kernel, L=L, n_valid=n_valid
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (B, E), lambda c: (0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (L, E), lambda c: (c, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (B, L), lambda c: (0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (B, L), lambda c: (0, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=(
+            pl.BlockSpec(
+                (B, L), lambda c: (0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (B, L), lambda c: (0, 0), memory_space=pltpu.VMEM
+            ),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, L), jnp.float32),
+            jax.ShapeDtypeStruct((B, L), jnp.int32),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=n_pad * E * 4 + 4 * B * L * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(q, c_padded, thr_s, thr_i)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "k", "L", "max_rounds", "interpret", "compute_dtype"
+    ),
+)
+def pallas_exact_topk(
+    queries: jax.Array,     # (B, E)
+    candidates: jax.Array,  # (N, E)
+    k: int,
+    L: int = 512,
+    max_rounds: int = 8,
+    interpret: bool = False,
+    compute_dtype=jnp.bfloat16,
+):
+    """Exact top-k of Q @ C^T via streaming bin-max rounds.
+
+    Returns (values (B, k), indices (B, k), rounds). Indices of padded /
+    never-filled slots are valid candidate indices of lower rank (exact
+    set semantics hold for the true top-k prefix).
+    """
+    B, E = queries.shape
+    N = candidates.shape[0]
+    if k > L:
+        raise ValueError(f"k={k} must be <= L={L}")
+    if k > N:
+        raise ValueError(f"k={k} > N={N}")
+    n_pad = ((N + L - 1) // L) * L
+    # bf16 operands with fp32 accumulation = XLA's default TPU matmul
+    # precision for f32 inputs, at single-pass MXU speed and half the
+    # HBM traffic; pass compute_dtype=jnp.float32 for full precision.
+    queries = queries.astype(compute_dtype)
+    c_padded = jnp.pad(
+        candidates.astype(compute_dtype), ((0, n_pad - N), (0, 0))
+    )
+
+    thr_s0 = jnp.full((B, L), jnp.inf, jnp.float32)
+    thr_i0 = jnp.full((B, L), -1, jnp.int32)
+
+    m, a = bin_max_round(
+        queries, c_padded, thr_s0, thr_i0, L, N, interpret
+    )
+    lead_v, sel = lax.top_k(m, k)
+    lead_i = jnp.take_along_axis(a, sel, axis=1)
+
+    def cond(state):
+        _, _, _, _, done, r = state
+        return jnp.logical_and(~done, r < max_rounds)
+
+    def body(state):
+        lead_v, lead_i, thr_s, thr_i, _, r = state
+        m, a = bin_max_round(
+            queries, c_padded, thr_s, thr_i, L, N, interpret
+        )
+        cand_v, sel = lax.top_k(m, k)
+        cand_i = jnp.take_along_axis(a, sel, axis=1)
+        all_v = jnp.concatenate([lead_v, cand_v], axis=1)
+        all_i = jnp.concatenate([lead_i, cand_i], axis=1)
+        new_v, msel = lax.top_k(all_v, k)
+        new_i = jnp.take_along_axis(all_i, msel, axis=1)
+        tau_hat = new_v[:, k - 1]
+        round_max = cand_v[:, 0]
+        done = jnp.all(round_max < tau_hat)
+        return new_v, new_i, m, a, done, r + 1
+
+    lead_v, lead_i, _, _, _, rounds = lax.while_loop(
+        cond,
+        body,
+        (lead_v, lead_i, m, a, jnp.asarray(False), jnp.int32(1)),
+    )
+    return lead_v, lead_i, rounds

@@ -57,6 +57,13 @@ class Feature:
     embedding_size: Optional[int] = None
     vocab: Optional[np.ndarray] = None  # frequency-ordered string tokens
     max_vocab_size: Optional[int] = None
+    # Numeric-only: standardize to zero mean / unit variance using train
+    # statistics (computed by Schema.build_features_from_dataframe).
+    # The reference passes numerics through raw (ref: input_layer.py:61-69)
+    # which can saturate the all-ReLU towers — see models/tower.py note.
+    standardize: bool = False
+    mean: Optional[float] = None
+    std: Optional[float] = None
     # token -> id cache (built lazily; not serialized)
     _token_to_id: Optional[Dict[str, int]] = field(
         default=None, repr=False, compare=False
@@ -81,6 +88,11 @@ class Feature:
                 raise ValueError(
                     f"numeric feature {self.name!r} cannot have a vocab"
                 )
+        if self.standardize and self.kind != FeatureKind.NUMERIC:
+            raise ValueError(
+                f"standardize only applies to numeric features "
+                f"({self.name!r})"
+            )
         if self.vocab is not None:
             self.vocab = np.asarray(self.vocab, dtype=str)
 
@@ -108,6 +120,25 @@ class Feature:
             counts = counts.iloc[: self.max_vocab_size]
         self.vocab = counts.index.to_numpy(dtype=str)
         self._token_to_id = None
+
+    def build_stats_from_dataframe(self, df: pd.DataFrame) -> None:
+        """Train-split mean/std for numeric standardization."""
+        if self.kind != FeatureKind.NUMERIC:
+            raise ValueError(f"{self.name!r} is not numeric")
+        col = df[self.name].to_numpy(dtype=np.float64)
+        self.mean = float(np.nanmean(col))
+        self.std = float(np.nanstd(col)) or 1.0
+
+    def transform_numeric(self, values: np.ndarray) -> np.ndarray:
+        """float32 passthrough, standardized when configured."""
+        out = np.asarray(values, dtype=np.float32)
+        if self.standardize:
+            if self.mean is None or self.std is None:
+                raise ValueError(
+                    f"numeric stats for {self.name!r} not built"
+                )
+            out = (out - np.float32(self.mean)) / np.float32(self.std)
+        return out
 
     def _lookup(self) -> Dict[str, int]:
         if self._token_to_id is None:
@@ -146,6 +177,9 @@ class Feature:
             "embedding_size": self.embedding_size,
             "max_vocab_size": self.max_vocab_size,
             "has_vocab": self.has_vocab,
+            "standardize": self.standardize,
+            "mean": self.mean,
+            "std": self.std,
         }
 
     @classmethod
@@ -159,4 +193,7 @@ class Feature:
             embedding_size=payload.get("embedding_size"),
             vocab=vocab,
             max_vocab_size=payload.get("max_vocab_size"),
+            standardize=payload.get("standardize", False),
+            mean=payload.get("mean"),
+            std=payload.get("std"),
         )

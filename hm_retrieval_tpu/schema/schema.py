@@ -105,6 +105,14 @@ class Schema:
                 logger.info(
                     "Feature %s vocab size %d", f.name, len(f.vocab)
                 )
+            elif f.kind.value == "numeric" and f.standardize:
+                f.build_stats_from_dataframe(df)
+                logger.info(
+                    "Feature %s stats mean=%.4f std=%.4f",
+                    f.name,
+                    f.mean,
+                    f.std,
+                )
 
     def build_logq_from_dataframe(self, train_df: pd.DataFrame) -> None:
         """Candidate sampling probs = value_counts/len(train) over the TRAIN

@@ -1,0 +1,86 @@
+"""Pallas fused retrieval kernel tests (interpret mode on CPU; compiled
+exactness + perf validated on real TPU by benchmarks)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hm_retrieval_tpu.ops.pallas_retrieval import pallas_exact_topk
+
+
+def ref_topk(scores, k):
+    return np.sort(scores, axis=1)[:, ::-1][:, :k]
+
+
+class TestPallasExactTopk:
+    @pytest.mark.parametrize("N", [512, 1000, 4096])
+    def test_random_matches_oracle(self, rng, N):
+        B, E, k = 8, 32, 10
+        q = rng.normal(size=(B, E)).astype(np.float32)
+        c = rng.normal(size=(N, E)).astype(np.float32)
+        v, i, rounds = pallas_exact_topk(
+            jnp.asarray(q), jnp.asarray(c), k, L=256, interpret=True, compute_dtype=jnp.float32
+        )
+        scores = q @ c.T
+        np.testing.assert_allclose(
+            np.asarray(v), ref_topk(scores, k), rtol=1e-5
+        )
+        # indices point at their scores
+        got = np.take_along_axis(scores, np.asarray(i), axis=1)
+        np.testing.assert_allclose(got, np.asarray(v), rtol=1e-5)
+
+    def test_adversarial_single_bin_collision(self, rng):
+        # every winner lands in the same bin (stride L apart)
+        B, E, k, L = 2, 16, 5, 128
+        N = L * 8
+        c = rng.normal(size=(N, E)).astype(np.float32) * 1e-3
+        q = np.ones((B, E), np.float32)
+        # plant winners at indices 7, 7+L, 7+2L, ... (same bin 7)
+        for j in range(6):
+            c[7 + j * L] = (10 - j) * np.ones(E) / E
+        v, i, rounds = pallas_exact_topk(
+            jnp.asarray(q), jnp.asarray(c), k, L=L, interpret=True, compute_dtype=jnp.float32
+        )
+        scores = q @ c.T
+        np.testing.assert_allclose(
+            np.asarray(v), ref_topk(scores, k), rtol=1e-5
+        )
+        assert int(rounds) >= 5  # needed one round per collision
+
+    def test_duplicate_scores_tie_break(self):
+        B, E, k, L = 1, 8, 4, 64
+        N = 256
+        c = np.zeros((N, E), np.float32)
+        # 6 identical-score candidates: exact top-k VALUES are the tie
+        # score and indices must be 4 distinct members of the tied set
+        # (tie resolution is positional, like lax.top_k)
+        tied = [3, 67, 131, 150, 195, 200]
+        for j in tied:
+            c[j] = np.ones(E) / E
+        q = np.ones((B, E), np.float32)
+        v, i, _ = pallas_exact_topk(
+            jnp.asarray(q), jnp.asarray(c), k, L=L, interpret=True, compute_dtype=jnp.float32
+        )
+        np.testing.assert_allclose(np.asarray(v), 1.0, rtol=1e-6)
+        ids = np.asarray(i)[0]
+        assert len(set(ids.tolist())) == k
+        assert set(ids.tolist()) <= set(tied)
+
+    def test_k_exceeds_bins_rejected(self):
+        with pytest.raises(ValueError, match="<= L"):
+            pallas_exact_topk(
+                jnp.zeros((2, 8)), jnp.zeros((512, 8)), 300, L=256,
+                interpret=True,
+            )
+
+    def test_n_smaller_than_bins(self, rng):
+        B, E, k, L, N = 4, 16, 8, 256, 100
+        q = rng.normal(size=(B, E)).astype(np.float32)
+        c = rng.normal(size=(N, E)).astype(np.float32)
+        v, i, _ = pallas_exact_topk(
+            jnp.asarray(q), jnp.asarray(c), k, L=L, interpret=True, compute_dtype=jnp.float32
+        )
+        scores = q @ c.T
+        np.testing.assert_allclose(
+            np.asarray(v), ref_topk(scores, k), rtol=1e-5
+        )

@@ -154,6 +154,53 @@ class TestSchema:
             == schema.training_config.train_batch_size
         )
 
+    def test_numeric_standardization(self):
+        f = Feature(
+            "age",
+            FeatureKind.NUMERIC,
+            FeatureFamily.QUERY,
+            standardize=True,
+        )
+        df = pd.DataFrame({"age": [10.0, 20.0, 30.0, 40.0]})
+        f.build_stats_from_dataframe(df)
+        assert f.mean == 25.0
+        out = f.transform_numeric(np.array([25.0, 36.18, 13.82]))
+        np.testing.assert_allclose(
+            out, [0.0, 1.0, -1.0], atol=1e-3
+        )
+
+    def test_standardize_rejected_on_categorical(self):
+        with pytest.raises(ValueError, match="standardize"):
+            make_feature(standardize=True)
+
+    def test_standardize_round_trip(self, tmp_path):
+        schema = make_schema(
+            features=[
+                make_feature(
+                    name="customer_id", family=FeatureFamily.QUERY
+                ),
+                Feature(
+                    "age",
+                    FeatureKind.NUMERIC,
+                    FeatureFamily.QUERY,
+                    standardize=True,
+                ),
+                make_feature(name="article_id"),
+            ]
+        )
+        df = pd.DataFrame(
+            {
+                "customer_id": ["u1", "u2"],
+                "age": [20.0, 40.0],
+                "article_id": ["a", "b"],
+            }
+        )
+        schema.build_features_from_dataframe(df)
+        schema.save(str(tmp_path / "s"))
+        loaded = Schema.load(str(tmp_path / "s"))
+        age = loaded.feature("age")
+        assert age.standardize and age.mean == 30.0
+
     def test_set_candidate_probs_explicit_dict(self):
         schema = make_schema()
         schema.feature("article_id").vocab = np.array(["a", "b"])
