@@ -1,0 +1,169 @@
+"""Reference-parity entrypoint for the real H&M Kaggle dataset.
+
+Mirrors the reference's main.py configuration (ref: main.py:11-111):
+date ranges 2019-09-20..2020-08-20 train / 2020-08-21..2020-09-21 test,
+B=512 Adagrad lr=0.05, 1 epoch, ks=[10,100,1000], the same feature set
+(customer_id/FN/age query features; article id + product/colour/department
+categorical candidate features). Differences are deliberate redesigns:
+int-id encoding instead of on-graph string lookup, parquet + npz shards
+instead of CSV + TFRecord, eval after training included.
+
+    python examples/run_hm.py --data-dir /path/to/hm_csvs --workdir out/
+
+Expects transactions_train.csv, articles.csv, customers.csv in --data-dir.
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(
+    0, os.path.join(os.path.dirname(__file__), os.pardir)
+)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--data-dir", required=True)
+    ap.add_argument("--workdir", required=True)
+    ap.add_argument("--epochs", type=int, default=1)
+    ap.add_argument(
+        "--sample",
+        type=float,
+        default=None,
+        help="optional transaction fraction (BASELINE config[0]: 0.01)",
+    )
+    args = ap.parse_args()
+
+    from hm_retrieval_tpu.runners import (
+        baseline_modelling_runner,
+        build_schema_runner,
+        etl_runner,
+        modelling_runner,
+        shard_writer_runner,
+    )
+    from hm_retrieval_tpu.schema import (
+        Feature,
+        FeatureFamily,
+        FeatureKind,
+        ModelConfig,
+        Schema,
+        TrainingConfig,
+    )
+    from hm_retrieval_tpu.utils.settings import Settings
+
+    d = args.workdir
+    tx = os.path.join(args.data_dir, "transactions_train.csv")
+    if args.sample:
+        import pandas as pd
+
+        df = pd.read_csv(tx)
+        df = df.sample(frac=args.sample, random_state=0)
+        tx = os.path.join(d, "transactions_sampled.csv")
+        os.makedirs(d, exist_ok=True)
+        df.to_csv(tx, index=False)
+
+    settings = Settings(
+        transactions_filepath=tx,
+        articles_filepath=os.path.join(args.data_dir, "articles.csv"),
+        customers_filepath=os.path.join(
+            args.data_dir, "customers.csv"
+        ),
+        # ref: main.py:11-30
+        train_start_date="2019-09-20",
+        train_end_date="2020-08-20",
+        test_start_date="2020-08-21",
+        test_end_date="2020-09-21",
+        train_data_filepath=f"{d}/processed/train.parquet",
+        test_data_filepath=f"{d}/processed/test.parquet",
+        schema_dirpath=f"{d}/schema",
+        train_shards_dirpath=f"{d}/shards/train",
+        test_shards_dirpath=f"{d}/shards/test",
+        candidate_shards_dirpath=f"{d}/shards/candidates",
+        model_dirpath=f"{d}/artifacts/model",
+        index_dirpath=f"{d}/artifacts/index",
+        baseline_index_dirpath=f"{d}/artifacts/baseline_index",
+        checkpoint_dirpath=f"{d}/artifacts/checkpoints",
+        tensorboard_logs_dir=f"{d}/logs",
+    )
+
+    # Feature set per ref main.py:32-111 (the duplicate product_type_name
+    # entry in the reference is collapsed: our Schema rejects duplicates).
+    schema = Schema(
+        features=[
+            Feature(
+                "customer_id",
+                FeatureKind.CATEGORICAL,
+                FeatureFamily.QUERY,
+                embedding_size=128,
+            ),
+            Feature(
+                "FN",
+                FeatureKind.NUMERIC,
+                FeatureFamily.QUERY,
+            ),
+            Feature(
+                "age",
+                FeatureKind.NUMERIC,
+                FeatureFamily.QUERY,
+                standardize=True,
+            ),
+            Feature(
+                "article_id",
+                FeatureKind.CATEGORICAL,
+                FeatureFamily.CANDIDATE,
+                embedding_size=128,
+            ),
+            Feature(
+                "product_type_name",
+                FeatureKind.CATEGORICAL,
+                FeatureFamily.CANDIDATE,
+                embedding_size=16,
+            ),
+            Feature(
+                "product_group_name",
+                FeatureKind.CATEGORICAL,
+                FeatureFamily.CANDIDATE,
+                embedding_size=8,
+            ),
+            Feature(
+                "colour_group_name",
+                FeatureKind.CATEGORICAL,
+                FeatureFamily.CANDIDATE,
+                embedding_size=8,
+            ),
+            Feature(
+                "department_name",
+                FeatureKind.CATEGORICAL,
+                FeatureFamily.CANDIDATE,
+                embedding_size=16,
+            ),
+        ],
+        model_config=ModelConfig(
+            joint_embedding_size=128,
+            ks=[10, 100, 1000],  # ref: main.py:107
+        ),
+        training_config=TrainingConfig(
+            train_batch_size=512,  # ref: main.py:98
+            test_batch_size=2048,
+            candidate_batch_size=10_000,
+            epochs=args.epochs,
+            optimizer_name="adagrad",
+            optimizer_kwargs={"learning_rate": 0.05},
+        ),
+        candidate_id_col="article_id",
+    )
+
+    etl_runner(settings)
+    build_schema_runner(settings, schema)
+    shard_writer_runner(settings)
+    results = modelling_runner(settings)
+    baseline = baseline_modelling_runner(settings)
+    print("\n=== Results ===")
+    print(f"untrained model recall: {results['initial']}")
+    print(f"trained model recall:   {results['final']}")
+    print(f"popularity baseline:    {baseline}")
+
+
+if __name__ == "__main__":
+    main()

@@ -150,7 +150,14 @@ def modelling_runner(
     profiler = StepProfiler(
         settings.tensorboard_logs_dir, settings.profile_steps
     )
-    step_fn = make_train_step(model, optimizer)
+    if mesh is not None:
+        from hm_retrieval_tpu.parallel.data_parallel import (
+            make_dp_train_step,
+        )
+
+        step_fn = make_dp_train_step(model, optimizer, mesh)
+    else:
+        step_fn = make_train_step(model, optimizer)
     index_k = max(mc.ks)
 
     results: Dict[str, Dict[int, float]] = {}

@@ -130,7 +130,9 @@ class Feature:
         self.std = float(np.nanstd(col)) or 1.0
 
     def transform_numeric(self, values: np.ndarray) -> np.ndarray:
-        """float32 passthrough, standardized when configured."""
+        """float32 passthrough, standardized when configured. NaNs (e.g.
+        H&M's FN/Active columns) map to 0.0 — post-standardization, so a
+        missing value reads as 'at the mean'."""
         out = np.asarray(values, dtype=np.float32)
         if self.standardize:
             if self.mean is None or self.std is None:
@@ -138,7 +140,7 @@ class Feature:
                     f"numeric stats for {self.name!r} not built"
                 )
             out = (out - np.float32(self.mean)) / np.float32(self.std)
-        return out
+        return np.nan_to_num(out, nan=0.0)
 
     def _lookup(self) -> Dict[str, int]:
         if self._token_to_id is None:

@@ -152,6 +152,30 @@ class TestPipeline:
         assert isinstance(loaded["query_tower"]["dense"], list)
 
 
+class TestMeshPipeline:
+    def test_modelling_runner_on_8_device_mesh(self, pipeline):
+        """Re-run the train+eval stage data-parallel over the fake
+        8-device mesh against the same shards; recall must improve just
+        like the single-device run."""
+        from hm_retrieval_tpu.parallel import make_mesh
+        import dataclasses
+
+        settings, single_results, _ = pipeline
+        settings8 = dataclasses.replace(
+            settings,
+            checkpoint_dirpath=settings.checkpoint_dirpath + "_m8",
+            model_dirpath=settings.model_dirpath + "_m8",
+            index_dirpath=settings.index_dirpath + "_m8",
+        )
+        results = modelling_runner(settings8, mesh=make_mesh())
+        assert results["final"][50] > results["initial"][50]
+        # same data + same seed: comparable quality to single-device
+        assert (
+            abs(results["final"][50] - single_results["final"][50])
+            < 0.15
+        )
+
+
 class TestCheckpointResume:
     def _tiny_model(self):
         feats_q = [
