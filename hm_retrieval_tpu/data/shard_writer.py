@@ -49,6 +49,10 @@ class ShardWriter:
         for f in self.features:
             if f.kind == FeatureKind.CATEGORICAL:
                 out[f.name] = f.encode(df[f.name].to_numpy())
+            elif f.kind == FeatureKind.SEQUENCE:
+                out[f.name] = f.encode_sequence(
+                    df[f.name].tolist()
+                )
             else:
                 out[f.name] = f.transform_numeric(
                     df[f.name].to_numpy()
@@ -72,9 +76,9 @@ class ShardWriter:
             "num_shards": num_shards,
             "features": {
                 f.name: (
-                    "int32"
-                    if f.kind == FeatureKind.CATEGORICAL
-                    else "float32"
+                    "float32"
+                    if f.kind == FeatureKind.NUMERIC
+                    else "int32"
                 )
                 for f in self.features
             },

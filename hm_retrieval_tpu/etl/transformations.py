@@ -11,6 +11,7 @@ import logging
 import os
 from typing import Optional, Sequence
 
+import numpy as np
 import pandas as pd
 
 logger = logging.getLogger(__name__)
@@ -42,6 +43,37 @@ def load_dataframe(
         df = pd.read_csv(filepath, usecols=columns, dtype=dtype)
     logger.info("Loaded %d rows from %s", len(df), filepath)
     return df
+
+
+def add_history_column(
+    df: pd.DataFrame,
+    user_col: str,
+    item_col: str,
+    out_col: str,
+    max_len: int,
+    date_col: Optional[str] = None,
+) -> pd.DataFrame:
+    """Per row: the user's previous ``max_len`` item ids, oldest..newest,
+    EXCLUDING the current row (no label leakage). Feeds the sequence-aware
+    query tower (BASELINE config[3]); no reference analog.
+
+    Rows are ordered by ``date_col`` (stable) within each user; the output
+    column holds python lists (parquet-serializable).
+    """
+    work = df
+    if date_col is not None:
+        work = df.sort_values(date_col, kind="stable")
+    histories = np.empty(len(df), dtype=object)
+    pos = {c: i for i, c in enumerate(df.index)}
+    for _, group in work.groupby(user_col, sort=False):
+        items = group[item_col].astype(str).tolist()
+        idxs = group.index
+        for i, row_idx in enumerate(idxs):
+            lo = max(0, i - max_len)
+            histories[pos[row_idx]] = items[lo:i]
+    out = df.copy()
+    out[out_col] = histories
+    return out
 
 
 def save_dataframe(

@@ -33,9 +33,14 @@ def init_embedding_params(
     rng: jax.Array, features: List[Feature], dtype=jnp.float32
 ) -> Params:
     params: Params = {}
-    cats = [f for f in features if f.kind == FeatureKind.CATEGORICAL]
-    keys = jax.random.split(rng, max(1, len(cats)))
-    for key, f in zip(keys, cats):
+    tabled = [
+        f
+        for f in features
+        if f.kind
+        in (FeatureKind.CATEGORICAL, FeatureKind.SEQUENCE)
+    ]
+    keys = jax.random.split(rng, max(1, len(tabled)))
+    for key, f in zip(keys, tabled):
         params[f.name] = jax.random.uniform(
             key,
             (f.num_embeddings, f.embedding_size),
@@ -49,10 +54,10 @@ def init_embedding_params(
 def embedding_output_dim(features: List[Feature]) -> int:
     dim = 0
     for f in features:
-        if f.kind == FeatureKind.CATEGORICAL:
-            dim += f.embedding_size
-        else:
+        if f.kind == FeatureKind.NUMERIC:
             dim += 1
+        else:  # categorical or sequence
+            dim += f.embedding_size
     return dim
 
 
@@ -62,12 +67,22 @@ def apply_embeddings(
     batch: Dict[str, jax.Array],
 ) -> jax.Array:
     """Gather + concat. ``batch[name]`` is (B,) int32 for categorical
-    features and (B,) float32 for numeric ones."""
+    features, (B, max_len) int32 for sequence features (0 = pad, masked
+    mean-pooled to (B, E)), and (B,) float32 for numeric ones."""
     parts = []
     for f in features:
         x = batch[f.name]
         if f.kind == FeatureKind.CATEGORICAL:
             parts.append(jnp.take(params[f.name], x, axis=0))
+        elif f.kind == FeatureKind.SEQUENCE:
+            emb = jnp.take(params[f.name], x, axis=0)  # (B, L, E)
+            mask = (x != 0).astype(emb.dtype)          # (B, L)
+            denom = jnp.maximum(
+                mask.sum(axis=1, keepdims=True), 1.0
+            )
+            parts.append(
+                (emb * mask[:, :, None]).sum(axis=1) / denom
+            )
         else:
             parts.append(x.astype(jnp.float32)[:, None])
     return jnp.concatenate(parts, axis=-1)

@@ -150,13 +150,52 @@ class TwoTowerModel:
         return -jnp.sum(jnp.diagonal(log_probs))
 
 
-def make_train_step(model: TwoTowerModel, optimizer):
+def make_train_step(
+    model: TwoTowerModel,
+    optimizer,
+    catalog=None,
+    num_uniform_negatives: int = 0,
+    base_seed: int = 0,
+):
     """One jitted, state-donating train step (replaces Keras
-    optimizer.minimize + GradientTape, ref: two_tower_model.py:110-124)."""
+    optimizer.minimize + GradientTape, ref: two_tower_model.py:110-124).
+
+    With ``catalog`` + ``num_uniform_negatives > 0`` the loss mixes
+    uniformly sampled negatives into the in-batch softmax (BASELINE
+    config[4], models/mixed_negatives.py); the sampling key derives from
+    the step counter, so resume-from-checkpoint replays the same stream.
+    """
+    if num_uniform_negatives > 0 and catalog is None:
+        raise ValueError(
+            "uniform negatives require a CandidateCatalog"
+        )
+
+    if num_uniform_negatives > 0:
+        from hm_retrieval_tpu.models.mixed_negatives import (
+            mixed_negatives_loss,
+        )
+
+        base_key = jax.random.PRNGKey(base_seed)
+
+        def loss_fn(params, batch, step):
+            key = jax.random.fold_in(base_key, step)
+            return mixed_negatives_loss(
+                model,
+                params,
+                batch,
+                catalog,
+                key,
+                num_uniform_negatives,
+            )
+
+    else:
+
+        def loss_fn(params, batch, step):
+            return model.loss(params, batch)
 
     def step(state: TrainState, batch: Batch):
-        loss, grads = jax.value_and_grad(model.loss)(
-            state.params, batch
+        loss, grads = jax.value_and_grad(loss_fn)(
+            state.params, batch, state.step
         )
         updates, opt_state = optimizer.update(
             grads, state.opt_state, state.params

@@ -27,15 +27,48 @@ from hm_retrieval_tpu.parallel.mesh import batch_sharding, replicated
 
 
 def make_dp_train_step(
-    model: TwoTowerModel, optimizer, mesh
+    model: TwoTowerModel,
+    optimizer,
+    mesh,
+    catalog=None,
+    num_uniform_negatives: int = 0,
+    base_seed: int = 0,
 ):
-    """Jitted SPMD train step with explicit in/out shardings."""
+    """Jitted SPMD train step with explicit in/out shardings. Optional
+    mixed uniform negatives as in models.two_tower.make_train_step."""
     repl = replicated(mesh)
     bshard = batch_sharding(mesh)
 
+    if num_uniform_negatives > 0:
+        if catalog is None:
+            raise ValueError(
+                "uniform negatives require a CandidateCatalog"
+            )
+        from hm_retrieval_tpu.models.mixed_negatives import (
+            mixed_negatives_loss,
+        )
+
+        base_key = jax.random.PRNGKey(base_seed)
+
+        def loss_fn(params, batch, step):
+            key = jax.random.fold_in(base_key, step)
+            return mixed_negatives_loss(
+                model,
+                params,
+                batch,
+                catalog,
+                key,
+                num_uniform_negatives,
+            )
+
+    else:
+
+        def loss_fn(params, batch, step):
+            return model.loss(params, batch)
+
     def step(state: TrainState, batch):
-        loss, grads = jax.value_and_grad(model.loss)(
-            state.params, batch
+        loss, grads = jax.value_and_grad(loss_fn)(
+            state.params, batch, state.step
         )
         updates, opt_state = optimizer.update(
             grads, state.opt_state, state.params

@@ -150,14 +150,34 @@ def modelling_runner(
     profiler = StepProfiler(
         settings.tensorboard_logs_dir, settings.profile_steps
     )
+    catalog = None
+    if tc.num_uniform_negatives > 0:
+        from hm_retrieval_tpu.models.mixed_negatives import (
+            CandidateCatalog,
+        )
+
+        catalog = CandidateCatalog(cand_ds.load_all())
     if mesh is not None:
         from hm_retrieval_tpu.parallel.data_parallel import (
             make_dp_train_step,
         )
 
-        step_fn = make_dp_train_step(model, optimizer, mesh)
+        step_fn = make_dp_train_step(
+            model,
+            optimizer,
+            mesh,
+            catalog=catalog,
+            num_uniform_negatives=tc.num_uniform_negatives,
+            base_seed=tc.seed,
+        )
     else:
-        step_fn = make_train_step(model, optimizer)
+        step_fn = make_train_step(
+            model,
+            optimizer,
+            catalog=catalog,
+            num_uniform_negatives=tc.num_uniform_negatives,
+            base_seed=tc.seed,
+        )
     index_k = max(mc.ks)
 
     results: Dict[str, Dict[int, float]] = {}

@@ -35,10 +35,14 @@ class FeatureFamily(str, enum.Enum):
 class FeatureKind(str, enum.Enum):
     """Value type. The reference supports tf.string / tf.float32
     (ref: pkg/schema/features.py:43); here: categorical (string tokens,
-    id-encoded) and numeric (float32 passthrough)."""
+    id-encoded), numeric (float32 passthrough), and sequence (a fixed-
+    length window of categorical tokens, e.g. last-N purchase history —
+    BASELINE config[3]; no reference analog, every reference input is a
+    single scalar token, SURVEY §5.7)."""
 
     CATEGORICAL = "categorical"
     NUMERIC = "numeric"
+    SEQUENCE = "sequence"
 
 
 @dataclass
@@ -64,6 +68,14 @@ class Feature:
     standardize: bool = False
     mean: Optional[float] = None
     std: Optional[float] = None
+    # Sequence-only: window length (tokens beyond the last max_len are
+    # dropped; shorter histories right-pad with 0, which doubles as the
+    # OOV/pad id and is masked out in pooling).
+    max_len: Optional[int] = None
+    # Sequence-only: name of the feature whose vocab this one shares
+    # (e.g. purchase history shares the article_id vocab). Wired by the
+    # Schema after construction/load.
+    shared_vocab_with: Optional[str] = None
     # token -> id cache (built lazily; not serialized)
     _token_to_id: Optional[Dict[str, int]] = field(
         default=None, repr=False, compare=False
@@ -72,10 +84,13 @@ class Feature:
     def __post_init__(self):
         self.kind = FeatureKind(self.kind)
         self.family = FeatureFamily(self.family)
-        if self.kind == FeatureKind.CATEGORICAL:
+        if self.kind in (
+            FeatureKind.CATEGORICAL,
+            FeatureKind.SEQUENCE,
+        ):
             if self.embedding_size is None or self.embedding_size <= 0:
                 raise ValueError(
-                    f"categorical feature {self.name!r} requires a positive "
+                    f"feature {self.name!r} requires a positive "
                     "embedding_size"
                 )
         else:
@@ -91,6 +106,17 @@ class Feature:
         if self.standardize and self.kind != FeatureKind.NUMERIC:
             raise ValueError(
                 f"standardize only applies to numeric features "
+                f"({self.name!r})"
+            )
+        if self.kind == FeatureKind.SEQUENCE:
+            if self.max_len is None or self.max_len <= 0:
+                raise ValueError(
+                    f"sequence feature {self.name!r} requires a "
+                    "positive max_len"
+                )
+        elif self.max_len is not None:
+            raise ValueError(
+                f"max_len only applies to sequence features "
                 f"({self.name!r})"
             )
         if self.vocab is not None:
@@ -159,6 +185,22 @@ class Feature:
         ids = ser.map(table).fillna(0).to_numpy(dtype=np.int32)
         return ids
 
+    def encode_sequence(self, values) -> np.ndarray:
+        """Iterable of token lists -> (B, max_len) int32, keeping the LAST
+        ``max_len`` tokens, right-padded with 0 (pad == OOV; pooling masks
+        id 0)."""
+        if self.kind != FeatureKind.SEQUENCE:
+            raise ValueError(f"{self.name!r} is not a sequence feature")
+        table = self._lookup()
+        out = np.zeros((len(values), self.max_len), np.int32)
+        for r, toks in enumerate(values):
+            if toks is None:
+                continue
+            toks = list(toks)[-self.max_len:]
+            for j, tok in enumerate(toks):
+                out[r, j] = table.get(str(tok), 0)
+        return out
+
     def decode(self, ids: np.ndarray) -> np.ndarray:
         """Int ids -> string tokens; id 0 (and out-of-range) -> '<OOV>'."""
         if self.vocab is None:
@@ -182,6 +224,8 @@ class Feature:
             "standardize": self.standardize,
             "mean": self.mean,
             "std": self.std,
+            "max_len": self.max_len,
+            "shared_vocab_with": self.shared_vocab_with,
         }
 
     @classmethod
@@ -198,4 +242,6 @@ class Feature:
             standardize=payload.get("standardize", False),
             mean=payload.get("mean"),
             std=payload.get("std"),
+            max_len=payload.get("max_len"),
+            shared_vocab_with=payload.get("shared_vocab_with"),
         )

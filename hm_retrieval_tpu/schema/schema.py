@@ -52,6 +52,7 @@ class Schema:
 
     def __post_init__(self):
         names = [f.name for f in self.features]
+        self._wire_shared_vocabs()
         if len(set(names)) != len(names):
             # The reference silently overwrites duplicate feature names in a
             # dict (SURVEY C12 quirk, ref: input_layer.py:31); we reject.
@@ -64,6 +65,23 @@ class Schema:
                 f"candidate_id_col {self.candidate_id_col!r} is not a "
                 "candidate feature"
             )
+
+    def _wire_shared_vocabs(self) -> None:
+        """Point sequence features at their source feature's vocab (e.g.
+        purchase history shares the article_id vocab). Safe to call
+        repeatedly; no-op while the source vocab is unbuilt."""
+        by_name = {f.name: f for f in self.features}
+        for f in self.features:
+            if f.shared_vocab_with:
+                src = by_name.get(f.shared_vocab_with)
+                if src is None:
+                    raise ValueError(
+                        f"{f.name!r} shares vocab with unknown "
+                        f"feature {f.shared_vocab_with!r}"
+                    )
+                if src.has_vocab:
+                    f.vocab = src.vocab
+                    f._token_to_id = None
 
     # ------------------------------------------------------------------
     # Partitions (ref: schema.py:34-39)
@@ -99,12 +117,32 @@ class Schema:
         """Build every missing categorical vocab from the (train) frame
         (ref: pkg/schema/schema.py:43-55)."""
         for f in self.features:
-            if f.kind.value == "categorical" and not f.has_vocab:
+            if (
+                f.kind.value == "categorical"
+                and not f.has_vocab
+            ):
                 logger.info("Building vocab for feature %s", f.name)
                 f.build_vocab_from_dataframe(df)
                 logger.info(
                     "Feature %s vocab size %d", f.name, len(f.vocab)
                 )
+            elif (
+                f.kind.value == "sequence"
+                and not f.has_vocab
+                and not f.shared_vocab_with
+            ):
+                # standalone sequence vocab from exploded token lists
+                logger.info(
+                    "Building sequence vocab for feature %s", f.name
+                )
+                exploded = df[f.name].explode().dropna()
+                f.vocab = (
+                    exploded.astype(str)
+                    .value_counts()
+                    .index.to_numpy(dtype=str)
+                )
+                if f.max_vocab_size is not None:
+                    f.vocab = f.vocab[: f.max_vocab_size]
             elif f.kind.value == "numeric" and f.standardize:
                 f.build_stats_from_dataframe(df)
                 logger.info(
@@ -113,6 +151,7 @@ class Schema:
                     f.mean,
                     f.std,
                 )
+        self._wire_shared_vocabs()
 
     def build_logq_from_dataframe(self, train_df: pd.DataFrame) -> None:
         """Candidate sampling probs = value_counts/len(train) over the TRAIN
@@ -162,7 +201,9 @@ class Schema:
         with open(os.path.join(dirpath, "schema.json"), "w") as f:
             json.dump(payload, f, indent=2)
         vocabs = {
-            f.name: f.vocab for f in self.features if f.has_vocab
+            f.name: f.vocab
+            for f in self.features
+            if f.has_vocab and not f.shared_vocab_with
         }
         np.savez_compressed(
             os.path.join(dirpath, "vocabs.npz"), **vocabs

@@ -31,6 +31,10 @@ class TrainingConfig:
     # Whether to apply the logQ sampled-softmax correction
     # (ref: README.md:87-99). The prob table itself lives in the Schema.
     use_logq_correction: bool = True
+    # Extra uniformly-sampled negatives per step appended to the in-batch
+    # candidates (BASELINE config[4] "mixed-negative training"; 0 = off,
+    # reference behavior).
+    num_uniform_negatives: int = 0
     seed: int = 0
 
     # --- distributed knobs (new; no reference analog) ---
@@ -60,6 +64,7 @@ class TrainingConfig:
             "optimizer_name": self.optimizer_name,
             "optimizer_kwargs": dict(self.optimizer_kwargs),
             "use_logq_correction": self.use_logq_correction,
+            "num_uniform_negatives": self.num_uniform_negatives,
             "seed": self.seed,
             "mesh_data_axis": self.mesh_data_axis,
             "global_batch_negatives": self.global_batch_negatives,

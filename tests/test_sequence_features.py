@@ -1,0 +1,248 @@
+"""Sequence-feature tests (BASELINE config[3]): history construction,
+encoding, pooled tower forward, end-to-end learning."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pandas as pd
+import pytest
+
+from hm_retrieval_tpu.etl.transformations import add_history_column
+from hm_retrieval_tpu.models import (
+    OptimizerFactory,
+    TwoTowerModel,
+    create_train_state,
+    embedding_output_dim,
+    make_train_step,
+)
+from hm_retrieval_tpu.schema import (
+    Feature,
+    FeatureFamily,
+    FeatureKind,
+    ModelConfig,
+    Schema,
+    TrainingConfig,
+)
+
+
+class TestAddHistoryColumn:
+    def test_excludes_current_and_keeps_order(self):
+        df = pd.DataFrame(
+            {
+                "t_dat": [
+                    "2020-01-01",
+                    "2020-01-02",
+                    "2020-01-03",
+                    "2020-01-02",
+                ],
+                "customer_id": ["u1", "u1", "u1", "u2"],
+                "article_id": ["a", "b", "c", "z"],
+            }
+        )
+        out = add_history_column(
+            df,
+            "customer_id",
+            "article_id",
+            "history",
+            max_len=2,
+            date_col="t_dat",
+        )
+        assert out["history"].tolist() == [
+            [],
+            ["a"],
+            ["a", "b"],
+            [],
+        ]
+
+    def test_window_truncates_oldest(self):
+        df = pd.DataFrame(
+            {
+                "customer_id": ["u"] * 5,
+                "article_id": list("abcde"),
+            }
+        )
+        out = add_history_column(
+            df, "customer_id", "article_id", "h", max_len=2
+        )
+        assert out["h"].tolist()[-1] == ["c", "d"]
+
+
+class TestSequenceEncoding:
+    def test_encode_pads_and_truncates(self):
+        f = Feature(
+            "history",
+            FeatureKind.SEQUENCE,
+            FeatureFamily.QUERY,
+            embedding_size=4,
+            max_len=3,
+            vocab=np.array(["a", "b", "c"]),
+        )
+        out = f.encode_sequence(
+            [["a"], [], ["a", "b", "c", "a"], ["zz", "b"]]
+        )
+        np.testing.assert_array_equal(
+            out,
+            [
+                [1, 0, 0],
+                [0, 0, 0],
+                [2, 3, 1],  # truncated to last 3
+                [0, 2, 0],  # OOV -> 0
+            ],
+        )
+
+    def test_shared_vocab_wiring(self):
+        schema = Schema(
+            features=[
+                Feature(
+                    "history",
+                    FeatureKind.SEQUENCE,
+                    FeatureFamily.QUERY,
+                    embedding_size=4,
+                    max_len=2,
+                    shared_vocab_with="article_id",
+                ),
+                Feature(
+                    "article_id",
+                    FeatureKind.CATEGORICAL,
+                    FeatureFamily.CANDIDATE,
+                    embedding_size=4,
+                ),
+            ],
+            model_config=ModelConfig(joint_embedding_size=4, ks=[1]),
+            training_config=TrainingConfig(),
+        )
+        df = pd.DataFrame({"article_id": ["y", "y", "x"]})
+        schema.build_features_from_dataframe(df)
+        hist = schema.feature("history")
+        np.testing.assert_array_equal(hist.vocab, ["y", "x"])
+        # ids consistent across the two features
+        np.testing.assert_array_equal(
+            hist.encode_sequence([["x", "y"]]), [[2, 1]]
+        )
+
+    def test_save_load_rewires(self, tmp_path):
+        schema = Schema(
+            features=[
+                Feature(
+                    "history",
+                    FeatureKind.SEQUENCE,
+                    FeatureFamily.QUERY,
+                    embedding_size=4,
+                    max_len=2,
+                    shared_vocab_with="article_id",
+                ),
+                Feature(
+                    "article_id",
+                    FeatureKind.CATEGORICAL,
+                    FeatureFamily.CANDIDATE,
+                    embedding_size=4,
+                ),
+            ],
+            model_config=ModelConfig(joint_embedding_size=4, ks=[1]),
+            training_config=TrainingConfig(),
+        )
+        schema.build_features_from_dataframe(
+            pd.DataFrame({"article_id": ["p", "q"]})
+        )
+        schema.save(str(tmp_path / "s"))
+        loaded = Schema.load(str(tmp_path / "s"))
+        assert loaded.feature("history").has_vocab
+        np.testing.assert_array_equal(
+            loaded.feature("history").vocab,
+            loaded.feature("article_id").vocab,
+        )
+
+
+class TestSequenceTower:
+    def make_model(self):
+        vocab = np.array([f"a{i}" for i in range(20)])
+        return TwoTowerModel(
+            query_features=[
+                Feature(
+                    "history",
+                    FeatureKind.SEQUENCE,
+                    FeatureFamily.QUERY,
+                    embedding_size=8,
+                    max_len=4,
+                    vocab=vocab,
+                ),
+                Feature(
+                    "customer_id",
+                    FeatureKind.CATEGORICAL,
+                    FeatureFamily.QUERY,
+                    embedding_size=8,
+                    vocab=np.array([f"u{i}" for i in range(10)]),
+                ),
+            ],
+            candidate_features=[
+                Feature(
+                    "article_id",
+                    FeatureKind.CATEGORICAL,
+                    FeatureFamily.CANDIDATE,
+                    embedding_size=8,
+                    vocab=vocab,
+                ),
+            ],
+            candidate_id_col="article_id",
+            joint_embedding_size=16,
+        )
+
+    def test_forward_shape_and_masking(self, rng):
+        model = self.make_model()
+        assert embedding_output_dim(model.query_features) == 16
+        params = model.init_params(0)
+        batch = {
+            "history": np.array(
+                [[1, 2, 0, 0], [0, 0, 0, 0]], np.int32
+            ),
+            "customer_id": np.array([1, 2], np.int32),
+        }
+        out = model.query_forward(params, batch)
+        assert out.shape == (2, 16)
+        # empty history must not produce NaNs (mask denominator >= 1)
+        assert np.isfinite(np.asarray(out)).all()
+
+    def test_empty_history_pools_to_zero(self):
+        model = self.make_model()
+        params = model.init_params(0)
+        from hm_retrieval_tpu.models import apply_embeddings
+
+        emb = apply_embeddings(
+            params["query_tower"]["embeddings"],
+            model.query_features,
+            {
+                "history": np.zeros((1, 4), np.int32),
+                "customer_id": np.array([1], np.int32),
+            },
+        )
+        np.testing.assert_allclose(np.asarray(emb)[0, :8], 0.0)
+
+    def test_training_learns_from_history(self, rng):
+        # queries identified ONLY by history (constant customer id);
+        # target article == last history item's "next" pattern
+        model = self.make_model()
+        opt = OptimizerFactory.get_optimizer(
+            "adagrad", {"learning_rate": 0.1}
+        )
+        state = create_train_state(model, opt, 0)
+        step = make_train_step(model, opt)
+        B = 16
+        arts = rng.integers(1, 21, B).astype(np.int32)
+        batch = {
+            "history": np.stack(
+                [
+                    np.array(
+                        [a, a, 0, 0], np.int32
+                    )  # history predicts same article
+                    for a in arts
+                ]
+            ),
+            "customer_id": np.ones(B, np.int32),
+            "article_id": arts,
+        }
+        batch = {k: jnp.asarray(v) for k, v in batch.items()}
+        losses = []
+        for _ in range(150):
+            state, m = step(state, batch)
+            losses.append(float(m["loss"]))
+        assert losses[-1] < losses[0] * 0.5
