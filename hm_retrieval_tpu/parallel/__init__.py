@@ -22,6 +22,11 @@ from hm_retrieval_tpu.parallel.sharded_embedding import (
     make_sharded_lookup,
     shard_table,
 )
+from hm_retrieval_tpu.parallel.sharded_training import (
+    create_sharded_train_state,
+    make_sharded_train_step,
+    param_shardings,
+)
 
 __all__ = [
     "DATA_AXIS",
@@ -36,6 +41,9 @@ __all__ = [
     "make_global_negatives_loss",
     "make_sharded_lookup",
     "shard_table",
+    "create_sharded_train_state",
+    "make_sharded_train_step",
+    "param_shardings",
     "make_distributed_topk",
     "shard_candidates",
 ]
