@@ -1,0 +1,204 @@
+"""ctypes bindings for the native host-pipeline kernels (native/shardio.cpp).
+
+Builds the shared library on first import (cached next to this file) and
+degrades gracefully: when no C++ toolchain is available every entry point
+reports unavailable and callers fall back to the pure-numpy/pandas path —
+results are identical either way (tests/test_native_ext.py asserts it).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import logging
+import os
+import subprocess
+import threading
+from typing import Optional
+
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+_SRC = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(__file__))),
+    "native",
+    "shardio.cpp",
+)
+_LIB_PATH = os.path.join(os.path.dirname(__file__), "libshardio.so")
+_lock = threading.Lock()
+_lib: Optional[ctypes.CDLL] = None
+_tried = False
+
+
+def _build() -> bool:
+    try:
+        subprocess.run(
+            [
+                "g++",
+                "-O3",
+                "-std=c++17",
+                "-fPIC",
+                "-pthread",
+                "-shared",
+                "-o",
+                _LIB_PATH,
+                _SRC,
+            ],
+            check=True,
+            capture_output=True,
+            timeout=120,
+        )
+        return True
+    except Exception as e:  # toolchain missing / compile error
+        logger.warning("native shardio build failed: %s", e)
+        return False
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _lib, _tried
+    with _lock:
+        if _lib is not None or _tried:
+            return _lib
+        _tried = True
+        if not os.path.exists(_LIB_PATH) or (
+            os.path.exists(_SRC)
+            and os.path.getmtime(_SRC) > os.path.getmtime(_LIB_PATH)
+        ):
+            if not os.path.exists(_SRC) or not _build():
+                return None
+        try:
+            lib = ctypes.CDLL(_LIB_PATH)
+        except OSError as e:
+            logger.warning("native shardio load failed: %s", e)
+            return None
+        lib.vocab_create.restype = ctypes.c_void_p
+        lib.vocab_create.argtypes = [
+            ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_uint64),
+            ctypes.c_uint32,
+        ]
+        lib.vocab_destroy.argtypes = [ctypes.c_void_p]
+        lib.vocab_size.restype = ctypes.c_uint32
+        lib.vocab_size.argtypes = [ctypes.c_void_p]
+        lib.vocab_encode.argtypes = [
+            ctypes.c_void_p,
+            ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_uint64),
+            ctypes.c_uint64,
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int,
+        ]
+        lib.vocab_create_fixed.restype = ctypes.c_void_p
+        lib.vocab_create_fixed.argtypes = [
+            ctypes.c_char_p,
+            ctypes.c_uint64,
+            ctypes.c_uint32,
+        ]
+        lib.vocab_encode_fixed.argtypes = [
+            ctypes.c_void_p,
+            ctypes.c_char_p,
+            ctypes.c_uint64,
+            ctypes.c_uint64,
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int,
+        ]
+        lib.gather_rows.argtypes = [
+            ctypes.c_void_p,
+            ctypes.c_uint64,
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_uint64,
+            ctypes.c_void_p,
+            ctypes.c_int,
+        ]
+        _lib = lib
+        logger.info("native shardio kernels loaded (%s)", _LIB_PATH)
+        return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def _to_fixed_bytes(tokens: np.ndarray) -> np.ndarray:
+    """str array -> contiguous fixed-width byte matrix (S dtype).
+    Fast ASCII path via astype; utf-8 fallback for non-ASCII tokens."""
+    try:
+        fixed = tokens.astype(np.bytes_)
+    except UnicodeEncodeError:
+        fixed = np.char.encode(tokens, "utf-8")
+    if fixed.dtype.itemsize == 0:  # all-empty edge case
+        fixed = fixed.astype("S1")
+    return np.ascontiguousarray(fixed)
+
+
+class NativeVocab:
+    """token -> id map backed by the C++ flat hash table; id 0 = OOV.
+
+    Tokens cross the boundary as numpy fixed-width byte matrices
+    (S-dtype) — conversion is vectorized C inside numpy, and the C++
+    side strips the NUL padding. Tokens containing embedded NULs are
+    therefore not supported (ids never do)."""
+
+    def __init__(self, vocab: np.ndarray):
+        lib = _load()
+        if lib is None:
+            raise RuntimeError("native shardio unavailable")
+        self._lib = lib
+        fixed = _to_fixed_bytes(np.asarray(vocab, dtype=str))
+        width = fixed.dtype.itemsize
+        self._handle = lib.vocab_create_fixed(
+            fixed.ctypes.data_as(ctypes.c_char_p),
+            width,
+            len(fixed),
+        )
+
+    def encode(
+        self, tokens: np.ndarray, n_threads: int = 0
+    ) -> np.ndarray:
+        tokens = np.asarray(tokens, dtype=str).ravel()
+        fixed = _to_fixed_bytes(tokens)
+        out = np.empty(len(tokens), np.int32)
+        if len(tokens):
+            self._lib.vocab_encode_fixed(
+                self._handle,
+                fixed.ctypes.data_as(ctypes.c_char_p),
+                fixed.dtype.itemsize,
+                len(tokens),
+                out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                n_threads,
+            )
+        return out
+
+    def __len__(self):
+        return int(self._lib.vocab_size(self._handle))
+
+    def __del__(self):
+        try:
+            if getattr(self, "_handle", None):
+                self._lib.vocab_destroy(self._handle)
+        except Exception:
+            pass
+
+
+def gather_rows(
+    src: np.ndarray, idx: np.ndarray, n_threads: int = 0
+) -> np.ndarray:
+    """Thread-parallel ``src[idx]`` for 1D/2D contiguous arrays; falls
+    back to numpy fancy indexing when the native lib is unavailable."""
+    lib = _load()
+    idx = np.ascontiguousarray(idx, np.int32)
+    if lib is None:
+        return src[idx]
+    src = np.ascontiguousarray(src)
+    row_shape = src.shape[1:]
+    out = np.empty((len(idx),) + row_shape, src.dtype)
+    row_bytes = src.dtype.itemsize * int(np.prod(row_shape or (1,)))
+    lib.gather_rows(
+        src.ctypes.data_as(ctypes.c_void_p),
+        row_bytes,
+        idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        len(idx),
+        out.ctypes.data_as(ctypes.c_void_p),
+        n_threads,
+    )
+    return out

@@ -80,6 +80,11 @@ class Feature:
     _token_to_id: Optional[Dict[str, int]] = field(
         default=None, repr=False, compare=False
     )
+    # native (C++) vocab handle + the vocab object it was built from
+    _native: object = field(default=None, repr=False, compare=False)
+    _native_for: object = field(
+        default=None, repr=False, compare=False
+    )
 
     def __post_init__(self):
         self.kind = FeatureKind(self.kind)
@@ -179,11 +184,31 @@ class Feature:
 
     def encode(self, values) -> np.ndarray:
         """String tokens -> int32 ids (0 = OOV). Host-side replacement for
-        the reference's on-graph StringLookup (ref: input_layer.py:33-36)."""
+        the reference's on-graph StringLookup (ref: input_layer.py:33-36).
+        Uses the thread-parallel C++ encoder (native/shardio.cpp) when the
+        toolchain is available; the pandas path is the exact fallback."""
+        arr = np.asarray(values, dtype=str).ravel()
+        native = self._native_encoder()
+        if native is not None:
+            return native.encode(arr)
         table = self._lookup()
-        ser = pd.Series(np.asarray(values, dtype=str).ravel())
+        ser = pd.Series(arr)
         ids = ser.map(table).fillna(0).to_numpy(dtype=np.int32)
         return ids
+
+    def _native_encoder(self):
+        if self.vocab is None:
+            raise ValueError(f"feature {self.name!r} has no vocab")
+        try:
+            from hm_retrieval_tpu import native_ext
+        except Exception:
+            return None
+        if not native_ext.available():
+            return None
+        if self._native is None or self._native_for is not self.vocab:
+            self._native = native_ext.NativeVocab(self.vocab)
+            self._native_for = self.vocab
+        return self._native
 
     def encode_sequence(self, values) -> np.ndarray:
         """Iterable of token lists -> (B, max_len) int32, keeping the LAST
