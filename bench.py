@@ -23,9 +23,19 @@ benchmarks/tf_reference_baseline.py, recorded in BASELINE.md).
 
 import argparse
 import json
+import os
 import time
 
 import jax
+
+# Persistent compilation cache: remote compiles through the tunnel can take
+# minutes; cached reruns skip them.
+os.makedirs(".jax_cache", exist_ok=True)
+try:
+    jax.config.update("jax_compilation_cache_dir", ".jax_cache")
+except Exception:
+    pass
+
 import jax.numpy as jnp
 import numpy as np
 
@@ -93,21 +103,30 @@ def hm_scale_model():
     return model, n_customers, n_articles
 
 
-def bench_training(steps: int, batch: int):
+def bench_training(steps: int, batch: int, sparse: bool = True):
+    """Training throughput. ``sparse=True`` uses the sparse embedding
+    Adagrad (models/sparse_optimizer.py — the production path for big
+    tables: only batch rows are updated, exact dense parity); False uses
+    the dense optax step for comparison."""
+    import optax
+
     from hm_retrieval_tpu.models import (
         OptimizerFactory,
         create_train_state,
+    )
+    from hm_retrieval_tpu.models.sparse_optimizer import (
+        create_sparse_train_state,
+        make_sparse_train_step,
     )
 
     model, n_customers, n_articles = hm_scale_model()
     opt = OptimizerFactory.get_optimizer(
         "adagrad", {"learning_rate": 0.05}
     )
-    state = create_train_state(model, opt, seed=0)
 
-    def loss_step(state, key):
+    def batch_for(key):
         kc, ka, kp, kcol = jax.random.split(key, 4)
-        b = {
+        return {
             "customer_id": jax.random.randint(
                 kc, (batch,), 0, n_customers + 1, dtype=jnp.int32
             ),
@@ -121,28 +140,40 @@ def bench_training(steps: int, batch: int):
                 kcol, (batch,), 0, 51, dtype=jnp.int32
             ),
         }
-        import optax
 
-        loss, grads = jax.value_and_grad(model.loss)(state.params, b)
-        updates, opt_state = opt.update(
-            grads, state.opt_state, state.params
-        )
-        params = optax.apply_updates(state.params, updates)
-        return (
-            state._replace(
-                params=params,
-                opt_state=opt_state,
-                step=state.step + 1,
-            ),
-            loss,
-        )
+    if sparse:
+        state = create_sparse_train_state(model, opt, 0)
+        inner = make_sparse_train_step(model, opt, 0.05)
+
+        def one(st, key):
+            return inner.__wrapped__(st, batch_for(key))
+
+    else:
+        state = create_train_state(model, opt, seed=0)
+
+        def one(st, key):
+            loss, grads = jax.value_and_grad(model.loss)(
+                st.params, batch_for(key)
+            )
+            updates, opt_state = opt.update(
+                grads, st.opt_state, st.params
+            )
+            params = optax.apply_updates(st.params, updates)
+            return (
+                st._replace(
+                    params=params,
+                    opt_state=opt_state,
+                    step=st.step + 1,
+                ),
+                {"loss": loss},
+            )
 
     @jax.jit
     def run(state, key):
         def body(carry, i):
             st, _ = carry
-            st, loss = loss_step(st, jax.random.fold_in(key, i))
-            return (st, loss), None
+            st, m = one(st, jax.random.fold_in(key, i))
+            return (st, m["loss"]), None
         (st, loss), _ = jax.lax.scan(
             body, (state, 0.0), jnp.arange(steps)
         )
@@ -162,12 +193,22 @@ def bench_training(steps: int, batch: int):
         "train_examples_per_s_per_chip": eps,
         "train_step_ms": dt / steps * 1e3,
         "train_compile_s": first - dt,
+        "train_path": "sparse_adagrad" if sparse else "dense",
         "final_loss": float(loss),
     }
 
 
-def bench_retrieval(iters: int, B: int, N: int, E: int, K: int):
+def bench_retrieval(
+    iters: int, B: int, N: int, E: int, K: int, method: str = "pallas"
+):
+    """Exact full-corpus top-K. ``method``: "pallas" = streaming bin-max
+    kernel (ops/pallas_retrieval.py, never materializes (B,N));
+    "partial_reduce" = XLA iterative PartialReduce on materialized
+    scores."""
     from hm_retrieval_tpu.ops.exact_topk import exact_topk_scores
+    from hm_retrieval_tpu.ops.pallas_retrieval import (
+        pallas_exact_topk,
+    )
 
     rng = np.random.default_rng(0)
     q = jnp.asarray(rng.normal(size=(B, E)).astype(np.float32))
@@ -178,10 +219,13 @@ def bench_retrieval(iters: int, B: int, N: int, E: int, K: int):
     def run(q, c):
         def body(carry, i):
             qq = jnp.roll(q, i, axis=0)
-            s = jnp.dot(
-                qq, c.T, preferred_element_type=jnp.float32
-            )
-            v, idx, r = exact_topk_scores(s, K)
+            if method == "pallas":
+                v, idx, r = pallas_exact_topk(qq, c, K, L=512)
+            else:
+                s = jnp.dot(
+                    qq, c.T, preferred_element_type=jnp.float32
+                )
+                v, idx, r = exact_topk_scores(s, K)
             return carry + v[0, 0] + idx[0, 0] + r, None
         acc, _ = jax.lax.scan(body, 0.0, jnp.arange(iters))
         return acc
@@ -193,6 +237,7 @@ def bench_retrieval(iters: int, B: int, N: int, E: int, K: int):
     return {
         "retrieval_queries_per_s": B / dt,
         "retrieval_ms_per_batch": dt * 1e3,
+        "retrieval_method": method,
         "retrieval_config": {"B": B, "N": N, "E": E, "K": K},
     }
 
@@ -202,16 +247,31 @@ def main():
     ap.add_argument("--steps", type=int, default=50)
     ap.add_argument("--batch", type=int, default=512)
     ap.add_argument("--skip-retrieval", action="store_true")
+    ap.add_argument(
+        "--dense",
+        action="store_true",
+        help="dense optax step instead of sparse embedding adagrad",
+    )
+    ap.add_argument(
+        "--retrieval-method",
+        default="pallas",
+        choices=["pallas", "partial_reduce"],
+    )
     args = ap.parse_args()
 
     details = {
         "device": str(jax.devices()[0]),
         "backend": jax.default_backend(),
     }
-    details.update(bench_training(args.steps, args.batch))
+    details.update(
+        bench_training(args.steps, args.batch, sparse=not args.dense)
+    )
     if not args.skip_retrieval:
         details.update(
-            bench_retrieval(20, 1024, 131072, 128, 100)
+            bench_retrieval(
+                20, 1024, 131072, 128, 100,
+                method=args.retrieval_method,
+            )
         )
 
     with open("bench_results.json", "w") as f:

@@ -49,9 +49,10 @@ class CheckpointManager:
     def latest_step(self) -> Optional[int]:
         return self._mgr.latest_step()
 
-    def restore(self, abstract_state: TrainState) -> TrainState:
+    def restore(self, abstract_state):
         """Restore the latest checkpoint into the structure/shardings of
-        ``abstract_state`` (a freshly-initialized TrainState)."""
+        ``abstract_state`` (a freshly-initialized TrainState or
+        SparseTrainState)."""
         step = self._mgr.latest_step()
         if step is None:
             raise FileNotFoundError(
@@ -64,7 +65,7 @@ class CheckpointManager:
             step, args=ocp.args.StandardRestore(target)
         )
         logger.info("Restored checkpoint step=%d", step)
-        return TrainState(**restored)
+        return type(abstract_state)(**restored)
 
     def close(self) -> None:
         self._mgr.close()

@@ -138,9 +138,41 @@ def modelling_runner(
     optimizer = OptimizerFactory.get_optimizer(
         tc.optimizer_name, tc.optimizer_kwargs
     )
-    state = create_train_state(model, optimizer, tc.seed)
-    if mesh is not None:
-        state = jax.device_put(state, replicated(mesh))
+
+    catalog = None
+    if tc.num_uniform_negatives > 0:
+        from hm_retrieval_tpu.models.mixed_negatives import (
+            CandidateCatalog,
+        )
+
+        catalog = CandidateCatalog(cand_ds.load_all())
+
+    use_sparse = (
+        tc.use_sparse_embedding_optimizer
+        and tc.optimizer_name.lower() == "adagrad"
+        and mesh is None
+        and tc.num_uniform_negatives == 0
+    )
+    if use_sparse:
+        from hm_retrieval_tpu.models.sparse_optimizer import (
+            create_sparse_train_state,
+            make_sparse_train_step,
+        )
+
+        logger.info("Using sparse embedding Adagrad train step")
+        state = create_sparse_train_state(
+            model, optimizer, seed=tc.seed
+        )
+        step_fn = make_sparse_train_step(
+            model,
+            optimizer,
+            tc.optimizer_kwargs["learning_rate"],
+        )
+    else:
+        state = create_train_state(model, optimizer, tc.seed)
+        if mesh is not None:
+            state = jax.device_put(state, replicated(mesh))
+        step_fn = None  # built below
 
     ckpt = CheckpointManager(settings.checkpoint_dirpath)
     if resume and ckpt.latest_step() is not None:
@@ -150,14 +182,9 @@ def modelling_runner(
     profiler = StepProfiler(
         settings.tensorboard_logs_dir, settings.profile_steps
     )
-    catalog = None
-    if tc.num_uniform_negatives > 0:
-        from hm_retrieval_tpu.models.mixed_negatives import (
-            CandidateCatalog,
-        )
-
-        catalog = CandidateCatalog(cand_ds.load_all())
-    if mesh is not None:
+    if use_sparse:
+        pass
+    elif mesh is not None:
         from hm_retrieval_tpu.parallel.data_parallel import (
             make_dp_train_step,
         )
