@@ -85,6 +85,106 @@ def _bin_max_kernel(
     a_ref[:] = jnp.where(take, flat, a)
 
 
+def _bin_max2_kernel(
+    q_ref,      # (B, E) VMEM, resident
+    c_ref,      # (L, E) VMEM, current chunk
+    thr_s_ref,  # (B, L): exclusion threshold score (prev round's m2)
+    thr_i_ref,  # (B, L): exclusion threshold index
+    m1_ref,     # out (B, L): bin max
+    a1_ref,     # out (B, L): bin argmax
+    m2_ref,     # out (B, L): bin second max
+    a2_ref,     # out (B, L): bin second argmax
+    *,
+    L: int,
+    n_valid: int,
+):
+    """Top-2-per-bin variant: each streaming pass reveals two elements
+    per bin, halving the refinement round count at ~1.3x the per-pass
+    VPU cost (see BASELINE.md analysis)."""
+    c = pl.program_id(0)
+
+    @pl.when(c == 0)
+    def _():
+        m1_ref[:] = jnp.full(m1_ref.shape, NEG_INF, m1_ref.dtype)
+        a1_ref[:] = jnp.full(a1_ref.shape, BIG_IDX, a1_ref.dtype)
+        m2_ref[:] = jnp.full(m2_ref.shape, NEG_INF, m2_ref.dtype)
+        a2_ref[:] = jnp.full(a2_ref.shape, BIG_IDX, a2_ref.dtype)
+
+    scores = jnp.dot(
+        q_ref[:], c_ref[:].T, preferred_element_type=jnp.float32
+    )
+    B = scores.shape[0]
+    col = jax.lax.broadcasted_iota(jnp.int32, (B, L), 1)
+    flat = col + c * L
+
+    thr_s = thr_s_ref[:]
+    thr_i = thr_i_ref[:]
+    elig = (scores < thr_s) | (
+        (scores == thr_s) & (flat > thr_i)
+    )
+    valid = flat < n_valid
+    s = jnp.where(elig & valid, scores, NEG_INF)
+
+    m1, a1 = m1_ref[:], a1_ref[:]
+    m2, a2 = m2_ref[:], a2_ref[:]
+    gt1 = (s > m1) | ((s == m1) & (flat < a1))
+    gt2 = (s > m2) | ((s == m2) & (flat < a2))
+    m1_ref[:] = jnp.where(gt1, s, m1)
+    a1_ref[:] = jnp.where(gt1, flat, a1)
+    m2_ref[:] = jnp.where(gt1, m1, jnp.where(gt2, s, m2))
+    a2_ref[:] = jnp.where(gt1, a1, jnp.where(gt2, flat, a2))
+
+
+@functools.partial(
+    jax.jit, static_argnames=("L", "n_valid", "interpret")
+)
+def bin_max2_round(
+    q: jax.Array,
+    c_padded: jax.Array,
+    thr_s: jax.Array,
+    thr_i: jax.Array,
+    L: int,
+    n_valid: int,
+    interpret: bool = False,
+):
+    """One streaming pass keeping the top-2 per bin below threshold."""
+    B, E = q.shape
+    n_pad = c_padded.shape[0]
+    assert n_pad % L == 0
+    grid = (n_pad // L,)
+    bl = lambda c: (0, 0)  # noqa: E731
+    return pl.pallas_call(
+        functools.partial(
+            _bin_max2_kernel, L=L, n_valid=n_valid
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((B, E), bl, memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (L, E), lambda c: (c, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec((B, L), bl, memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, L), bl, memory_space=pltpu.VMEM),
+        ],
+        out_specs=tuple(
+            pl.BlockSpec((B, L), bl, memory_space=pltpu.VMEM)
+            for _ in range(4)
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, L), jnp.float32),
+            jax.ShapeDtypeStruct((B, L), jnp.int32),
+            jax.ShapeDtypeStruct((B, L), jnp.float32),
+            jax.ShapeDtypeStruct((B, L), jnp.int32),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * n_pad * E,
+            bytes_accessed=n_pad * E * 4 + 6 * B * L * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(q, c_padded, thr_s, thr_i)
+
+
 @functools.partial(
     jax.jit, static_argnames=("L", "n_valid", "interpret")
 )
@@ -146,7 +246,12 @@ def bin_max_round(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "k", "L", "max_rounds", "interpret", "compute_dtype"
+        "k",
+        "L",
+        "max_rounds",
+        "interpret",
+        "compute_dtype",
+        "keep_per_bin",
     ),
 )
 def pallas_exact_topk(
@@ -157,6 +262,7 @@ def pallas_exact_topk(
     max_rounds: int = 8,
     interpret: bool = False,
     compute_dtype=jnp.bfloat16,
+    keep_per_bin: int = 1,
 ):
     """Exact top-k of Q @ C^T via streaming bin-max rounds.
 
@@ -179,14 +285,31 @@ def pallas_exact_topk(
         candidates.astype(compute_dtype), ((0, n_pad - N), (0, 0))
     )
 
+    if keep_per_bin not in (1, 2):
+        raise ValueError("keep_per_bin must be 1 or 2")
+
     thr_s0 = jnp.full((B, L), jnp.inf, jnp.float32)
     thr_i0 = jnp.full((B, L), -1, jnp.int32)
 
-    m, a = bin_max_round(
-        queries, c_padded, thr_s0, thr_i0, L, N, interpret
-    )
-    lead_v, sel = lax.top_k(m, k)
-    lead_i = jnp.take_along_axis(a, sel, axis=1)
+    def run_round(thr_s, thr_i):
+        """One streaming pass; returns (revealed values (B, RL),
+        revealed indices (B, RL), next thresholds)."""
+        if keep_per_bin == 1:
+            m, a = bin_max_round(
+                queries, c_padded, thr_s, thr_i, L, N, interpret
+            )
+            return m, a, m, a
+        m1, a1, m2, a2 = bin_max2_round(
+            queries, c_padded, thr_s, thr_i, L, N, interpret
+        )
+        vals = jnp.concatenate([m1, m2], axis=1)
+        idxs = jnp.concatenate([a1, a2], axis=1)
+        # next threshold = the weaker revealed element per bin
+        return vals, idxs, m2, a2
+
+    vals, idxs, thr_s, thr_i = run_round(thr_s0, thr_i0)
+    lead_v, sel = lax.top_k(vals, k)
+    lead_i = jnp.take_along_axis(idxs, sel, axis=1)
 
     def cond(state):
         _, _, _, _, done, r = state
@@ -194,11 +317,9 @@ def pallas_exact_topk(
 
     def body(state):
         lead_v, lead_i, thr_s, thr_i, _, r = state
-        m, a = bin_max_round(
-            queries, c_padded, thr_s, thr_i, L, N, interpret
-        )
-        cand_v, sel = lax.top_k(m, k)
-        cand_i = jnp.take_along_axis(a, sel, axis=1)
+        vals, idxs, nthr_s, nthr_i = run_round(thr_s, thr_i)
+        cand_v, sel = lax.top_k(vals, k)
+        cand_i = jnp.take_along_axis(idxs, sel, axis=1)
         all_v = jnp.concatenate([lead_v, cand_v], axis=1)
         all_i = jnp.concatenate([lead_i, cand_i], axis=1)
         new_v, msel = lax.top_k(all_v, k)
@@ -206,11 +327,18 @@ def pallas_exact_topk(
         tau_hat = new_v[:, k - 1]
         round_max = cand_v[:, 0]
         done = jnp.all(round_max < tau_hat)
-        return new_v, new_i, m, a, done, r + 1
+        return new_v, new_i, nthr_s, nthr_i, done, r + 1
 
     lead_v, lead_i, _, _, _, rounds = lax.while_loop(
         cond,
         body,
-        (lead_v, lead_i, m, a, jnp.asarray(False), jnp.int32(1)),
+        (
+            lead_v,
+            lead_i,
+            thr_s,
+            thr_i,
+            jnp.asarray(False),
+            jnp.int32(1),
+        ),
     )
     return lead_v, lead_i, rounds

@@ -14,12 +14,14 @@ def ref_topk(scores, k):
 
 class TestPallasExactTopk:
     @pytest.mark.parametrize("N", [512, 1000, 4096])
-    def test_random_matches_oracle(self, rng, N):
+    @pytest.mark.parametrize("keep", [1, 2])
+    def test_random_matches_oracle(self, rng, N, keep):
         B, E, k = 8, 32, 10
         q = rng.normal(size=(B, E)).astype(np.float32)
         c = rng.normal(size=(N, E)).astype(np.float32)
         v, i, rounds = pallas_exact_topk(
-            jnp.asarray(q), jnp.asarray(c), k, L=256, interpret=True, compute_dtype=jnp.float32
+            jnp.asarray(q), jnp.asarray(c), k, L=256, interpret=True, compute_dtype=jnp.float32,
+            keep_per_bin=keep,
         )
         scores = q @ c.T
         np.testing.assert_allclose(
@@ -29,7 +31,8 @@ class TestPallasExactTopk:
         got = np.take_along_axis(scores, np.asarray(i), axis=1)
         np.testing.assert_allclose(got, np.asarray(v), rtol=1e-5)
 
-    def test_adversarial_single_bin_collision(self, rng):
+    @pytest.mark.parametrize("keep", [1, 2])
+    def test_adversarial_single_bin_collision(self, rng, keep):
         # every winner lands in the same bin (stride L apart)
         B, E, k, L = 2, 16, 5, 128
         N = L * 8
@@ -39,13 +42,17 @@ class TestPallasExactTopk:
         for j in range(6):
             c[7 + j * L] = (10 - j) * np.ones(E) / E
         v, i, rounds = pallas_exact_topk(
-            jnp.asarray(q), jnp.asarray(c), k, L=L, interpret=True, compute_dtype=jnp.float32
+            jnp.asarray(q), jnp.asarray(c), k, L=L, interpret=True, compute_dtype=jnp.float32,
+            keep_per_bin=keep,
         )
         scores = q @ c.T
         np.testing.assert_allclose(
             np.asarray(v), ref_topk(scores, k), rtol=1e-5
         )
-        assert int(rounds) >= 5  # needed one round per collision
+        if keep == 1:
+            assert int(rounds) >= 5  # one round per collision
+        else:
+            assert int(rounds) <= 4  # top-2 halves the rounds
 
     def test_duplicate_scores_tie_break(self):
         B, E, k, L = 1, 8, 4, 64
