@@ -92,10 +92,14 @@ def evaluate(
     ks,
     epoch: Optional[int] = None,
     writer: Optional[MetricWriter] = None,
+    mesh=None,
 ) -> Dict[int, float]:
     """Streaming Recall@K over the test set (ref: runner.py:95-101).
     Tail batches are padded to keep device shapes static; padded rows are
-    masked out of the metric."""
+    masked out of the metric. With a mesh, eval batches are sharded
+    P("data") — rows are independent, so GSPMD parallelizes the tower
+    forward + scoring + top-k across chips with no collectives beyond the
+    final metric reduction."""
     usable_ks = [k for k in ks if k <= index.num_candidates]
     dropped = [k for k in ks if k > index.num_candidates]
     if dropped:
@@ -109,9 +113,16 @@ def evaluate(
     cid = model.candidate_id_col
     for batch in test_ds.iter_batches(test_batch_size):
         batch, n = _pad_batch(batch, test_batch_size)
-        jbatch = {
-            k_: jax.numpy.asarray(v) for k_, v in batch.items()
-        }
+        if mesh is not None:
+            jbatch = shard_batch(
+                {k_: np.asarray(v) for k_, v in batch.items()},
+                mesh,
+            )
+        else:
+            jbatch = {
+                k_: jax.numpy.asarray(v)
+                for k_, v in batch.items()
+            }
         q = query_fn(params, jbatch)
         _, ids = index.topk_from_embeddings(q)
         metric.update(ids, jbatch[cid], num_valid=n)
@@ -228,6 +239,7 @@ def modelling_runner(
             mc.ks,
             epoch=epoch,
             writer=writer,
+            mesh=mesh,
         )
         if epoch == 0:
             results["initial"] = res
@@ -281,6 +293,7 @@ def modelling_runner(
         mc.ks,
         epoch=tc.epochs,
         writer=writer,
+        mesh=mesh,
     )
     index.save(settings.index_dirpath)
     ckpt.close()
