@@ -258,7 +258,7 @@ def pallas_exact_topk(
     queries: jax.Array,     # (B, E)
     candidates: jax.Array,  # (N, E)
     k: int,
-    L: int = 512,
+    L: int = None,
     max_rounds: int = 8,
     interpret: bool = False,
     compute_dtype=jnp.bfloat16,
@@ -287,6 +287,18 @@ def pallas_exact_topk(
 
     if keep_per_bin not in (1, 2):
         raise ValueError("keep_per_bin must be 1 or 2")
+    if L is None:
+        L = 512 if keep_per_bin == 1 else 256
+    # VMEM budget guard: exceeding ~16MB/core wedges the remote Mosaic
+    # compiler rather than failing cleanly. Rough per-core bytes:
+    # scores + thresholds(2) + accumulators(2 or 4) + iota temps(2).
+    acc_bufs = 2 * keep_per_bin
+    vmem = 4 * B * L * (1 + 2 + acc_bufs) + 4 * B * E + 8 * L * E
+    if vmem > 15_000_000 and not interpret:
+        raise ValueError(
+            f"estimated VMEM {vmem/1e6:.1f}MB exceeds the v5e budget; "
+            f"reduce L (got {L}) or batch {B}"
+        )
 
     thr_s0 = jnp.full((B, L), jnp.inf, jnp.float32)
     thr_i0 = jnp.full((B, L), -1, jnp.int32)
