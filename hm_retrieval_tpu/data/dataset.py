@@ -34,13 +34,36 @@ class ShardDataset:
     (ref: TFRecordDatasetFactory, pkg/modelling/tfrecord_dataset.py:59-98).
     """
 
-    def __init__(self, dirpath: str):
+    def __init__(
+        self,
+        dirpath: str,
+        process_index: int = 0,
+        process_count: int = 1,
+    ):
+        """``process_index``/``process_count``: multi-host data sharding —
+        each host reads only shards ``i % process_count == process_index``
+        (SURVEY §2.9: per-host data loading feeding
+        jax.make_array_from_process_local_data). Defaults to the whole
+        dataset."""
         self.dirpath = dirpath
-        self.shard_paths: List[str] = sorted(
+        if not 0 <= process_index < process_count:
+            raise ValueError("bad process_index/process_count")
+        all_paths = sorted(
             glob.glob(os.path.join(dirpath, "shard_*.npz"))
         )
-        if not self.shard_paths:
+        if not all_paths:
             raise FileNotFoundError(f"no shards found in {dirpath}")
+        self.shard_paths: List[str] = [
+            p
+            for i, p in enumerate(all_paths)
+            if i % process_count == process_index
+        ]
+        if not self.shard_paths:
+            raise ValueError(
+                f"process {process_index}/{process_count} got no shards "
+                f"({len(all_paths)} total) — write more shards or fewer "
+                "hosts"
+            )
         manifest_path = os.path.join(dirpath, MANIFEST_NAME)
         with open(manifest_path) as f:
             self.manifest = json.load(f)

@@ -59,11 +59,15 @@ class BruteForceIndex:
         embeddings,
         method: str = "auto",
     ):
-        """``method``: "full" = one lax.top_k over (B, N); "partial_reduce"
-        = iterative exact PartialReduce refinement (ops/exact_topk.py, ~10x
-        faster on TPU for large N); "auto" = partial_reduce when the padded
-        catalog exceeds 16k rows."""
-        if method not in ("auto", "full", "partial_reduce"):
+        """``method``:
+        - "full": one lax.top_k over (B, N)
+        - "partial_reduce": iterative exact PartialReduce refinement
+          (ops/exact_topk.py)
+        - "pallas": streaming bin-max kernel (ops/pallas_retrieval.py,
+          fastest exact path on TPU; TPU-only)
+        - "auto": pallas on TPU / partial_reduce elsewhere for catalogs
+          over 16k rows, full otherwise."""
+        if method not in ("auto", "full", "partial_reduce", "pallas"):
             raise ValueError(f"unknown method {method!r}")
         identifiers = np.asarray(identifiers)
         embeddings = np.asarray(embeddings, dtype=np.float32)
@@ -96,9 +100,12 @@ class BruteForceIndex:
         self.embeddings = jnp.asarray(emb)
         self._score_bias = jnp.asarray(bias)
         if method == "auto":
-            method = (
-                "partial_reduce" if n_pad > 16384 else "full"
-            )
+            if n_pad <= 16384:
+                method = "full"
+            elif jax.default_backend() == "tpu":
+                method = "pallas"
+            else:
+                method = "partial_reduce"
         self.method = method
 
     # ------------------------------------------------------------------
@@ -142,10 +149,27 @@ class BruteForceIndex:
     # Query (ref: brute_force.py:54-83)
     # ------------------------------------------------------------------
     @staticmethod
-    @partial(jax.jit, static_argnames=("k", "method"))
+    @partial(
+        jax.jit, static_argnames=("k", "method", "n_real")
+    )
     def _topk(
-        query_embeddings, embeddings, score_bias, identifiers, k, method
+        query_embeddings,
+        embeddings,
+        score_bias,
+        identifiers,
+        k,
+        method,
+        n_real,
     ):
+        if method == "pallas":
+            from hm_retrieval_tpu.ops.pallas_retrieval import (
+                pallas_exact_topk,
+            )
+
+            top_scores, top_idx, _ = pallas_exact_topk(
+                query_embeddings, embeddings[:n_real], k
+            )
+            return top_scores, jnp.take(identifiers, top_idx)
         scores = (
             jnp.dot(
                 query_embeddings,
@@ -173,6 +197,7 @@ class BruteForceIndex:
             self.identifiers,
             self.k,
             self.method,
+            self.num_candidates,
         )
 
     def query(

@@ -13,6 +13,7 @@ from hm_retrieval_tpu.parallel.mesh import (
     DATA_AXIS,
     MODEL_AXIS,
     batch_sharding,
+    initialize_multihost,
     make_mesh,
     replicated,
     row_sharded,
@@ -32,6 +33,7 @@ __all__ = [
     "DATA_AXIS",
     "MODEL_AXIS",
     "make_mesh",
+    "initialize_multihost",
     "batch_sharding",
     "replicated",
     "row_sharded",

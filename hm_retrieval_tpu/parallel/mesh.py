@@ -28,6 +28,34 @@ DATA_AXIS = "data"
 MODEL_AXIS = "model"
 
 
+def initialize_multihost(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> None:
+    """Join the multi-host process group (SURVEY §5.8: the platform-native
+    'NCCL init'). On TPU pods with default env configuration, call with no
+    arguments; arguments are for manual/CPU bring-up. No-op when already
+    initialized or single-process."""
+    if jax.process_count() > 1:
+        return  # already initialized by the runtime
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+        logger.info(
+            "jax.distributed initialized: process %d/%d",
+            jax.process_index(),
+            jax.process_count(),
+        )
+    except Exception as e:  # single-host dev path
+        logger.info(
+            "jax.distributed.initialize skipped (%s)", e
+        )
+
+
 def make_mesh(
     data: Optional[int] = None,
     model: int = 1,

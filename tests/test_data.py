@@ -127,6 +127,33 @@ class TestShardDataset:
         with pytest.raises(FileNotFoundError):
             ShardDataset(str(tmp_path / "nope"))
 
+    def test_process_sharding_partitions_shards(
+        self, features, tmp_path
+    ):
+        ShardWriter(features, max_rows=3).write_shards(
+            make_df(12), str(tmp_path)
+        )  # 4 shards
+        rows = []
+        for p in range(2):
+            ds = ShardDataset(
+                str(tmp_path), process_index=p, process_count=2
+            )
+            assert len(ds.shard_paths) == 2
+            rows.append(ds.load_all()["age"])
+        combined = np.sort(np.concatenate(rows))
+        np.testing.assert_array_equal(combined, np.arange(12))
+
+    def test_process_with_no_shards_rejected(
+        self, features, tmp_path
+    ):
+        ShardWriter(features, max_rows=100).write_shards(
+            make_df(5), str(tmp_path)
+        )  # 1 shard
+        with pytest.raises(ValueError, match="no shards"):
+            ShardDataset(
+                str(tmp_path), process_index=1, process_count=2
+            )
+
 
 class TestShardWriterRunner:
     def test_end_to_end(self, tmp_path):
