@@ -220,7 +220,9 @@ def bench_retrieval(
         def body(carry, i):
             qq = jnp.roll(q, i, axis=0)
             if method == "pallas":
-                v, idx, r = pallas_exact_topk(qq, c, K, L=512)
+                v, idx, r = pallas_exact_topk(
+                    qq, c, K, keep_per_bin=2
+                )
             else:
                 s = jnp.dot(
                     qq, c.T, preferred_element_type=jnp.float32

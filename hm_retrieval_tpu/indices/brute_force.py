@@ -167,7 +167,10 @@ class BruteForceIndex:
             )
 
             top_scores, top_idx, _ = pallas_exact_topk(
-                query_embeddings, embeddings[:n_real], k
+                query_embeddings,
+                embeddings[:n_real],
+                k,
+                keep_per_bin=2,
             )
             return top_scores, jnp.take(identifiers, top_idx)
         scores = (
