@@ -268,6 +268,8 @@ def modelling_runner(
 
         ckpt.save(global_step, state)
         export_model(state.params, settings.model_dirpath)
+        # weight histograms per epoch (ref: histogram_freq=1)
+        writer.add_params_histograms(state.params, epoch + 1)
 
     profiler.close()
     if t_train > 0:

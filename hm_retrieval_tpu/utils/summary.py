@@ -39,6 +39,30 @@ class MetricWriter:
         if self._writer is not None:
             self._writer.add_scalar(tag, value, step)
 
+    def add_histogram(self, tag: str, values, step: int) -> None:
+        """Weight histograms (the reference's Keras TensorBoard
+        ``histogram_freq=1``, ref: pkg/modelling/runner.py:63-67)."""
+        if self._writer is not None:
+            import numpy as np
+
+            self._writer.add_histogram(
+                tag, np.asarray(values).ravel(), step
+            )
+
+    def add_params_histograms(self, params, step: int) -> None:
+        if self._writer is None:
+            return
+        import jax
+
+        for path, leaf in jax.tree_util.tree_flatten_with_path(
+            params
+        )[0]:
+            tag = "params/" + "/".join(
+                str(getattr(p, "key", getattr(p, "idx", "?")))
+                for p in path
+            )
+            self.add_histogram(tag, leaf, step)
+
     def flush(self) -> None:
         if self._writer is not None:
             self._writer.flush()

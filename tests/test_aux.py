@@ -75,4 +75,14 @@ class TestMetricWriter:
     def test_none_logdir_is_noop(self):
         w = MetricWriter(None)
         w.add_scalar("x", 1.0, 0)
+        w.add_params_histograms({"a": np.ones(3)}, 0)
         w.close()
+
+    def test_param_histograms_written(self, tmp_path):
+        w = MetricWriter(str(tmp_path), run_name="h")
+        w.add_params_histograms(
+            {"t": {"w": np.ones((4, 2)), "b": np.zeros(2)}}, 1
+        )
+        w.flush()
+        w.close()
+        assert glob.glob(str(tmp_path / "h" / "events.out*"))
