@@ -45,15 +45,17 @@ import numpy as np
 TF_CPU_BASELINE_EXAMPLES_PER_S = 1280.3
 
 
-def hm_scale_model():
+def hm_scale_model(
+    n_customers: int = 1_371_980,
+    n_articles: int = 105_542,
+    emb_dim: int = 128,
+):
     from hm_retrieval_tpu.models import TwoTowerModel
     from hm_retrieval_tpu.schema import (
         Feature,
         FeatureFamily,
         FeatureKind,
     )
-
-    n_customers, n_articles = 1_371_980, 105_542
 
     # Feature with direct table size (bypasses building a 1.4M-entry
     # string vocab — vocab identity is irrelevant for throughput).
@@ -80,12 +82,12 @@ def hm_scale_model():
     model = TwoTowerModel(
         query_features=[
             SizedFeature(
-                "customer_id", FeatureFamily.QUERY, 128, n_customers
+                "customer_id", FeatureFamily.QUERY, emb_dim, n_customers
             ),
         ],
         candidate_features=[
             SizedFeature(
-                "article_id", FeatureFamily.CANDIDATE, 128, n_articles
+                "article_id", FeatureFamily.CANDIDATE, emb_dim, n_articles
             ),
             SizedFeature(
                 "product_type_name", FeatureFamily.CANDIDATE, 16, 130
@@ -95,7 +97,7 @@ def hm_scale_model():
             ),
         ],
         candidate_id_col="article_id",
-        joint_embedding_size=128,
+        joint_embedding_size=emb_dim,
         query_tower_units=[256],
         candidate_tower_units=[256],
         logq=logq,
@@ -103,7 +105,14 @@ def hm_scale_model():
     return model, n_customers, n_articles
 
 
-def bench_training(steps: int, batch: int, sparse: bool = True):
+def bench_training(
+    steps: int,
+    batch: int,
+    sparse: bool = True,
+    n_customers: int = 1_371_980,
+    n_articles: int = 105_542,
+    emb_dim: int = 128,
+):
     """Training throughput. ``sparse=True`` uses the sparse embedding
     Adagrad (models/sparse_optimizer.py — the production path for big
     tables: only batch rows are updated, exact dense parity); False uses
@@ -119,7 +128,9 @@ def bench_training(steps: int, batch: int, sparse: bool = True):
         make_sparse_train_step,
     )
 
-    model, n_customers, n_articles = hm_scale_model()
+    model, n_customers, n_articles = hm_scale_model(
+        n_customers, n_articles, emb_dim
+    )
     opt = OptimizerFactory.get_optimizer(
         "adagrad", {"learning_rate": 0.05}
     )
@@ -210,9 +221,18 @@ def bench_retrieval(
         pallas_exact_topk,
     )
 
-    rng = np.random.default_rng(0)
-    q = jnp.asarray(rng.normal(size=(B, E)).astype(np.float32))
-    c = jnp.asarray(rng.normal(size=(N, E)).astype(np.float32))
+    # generate on device: uploading a multi-GB catalog through the relay
+    # tunnel (~10-20 MB/s) would dominate bench time
+    q = jax.jit(
+        lambda: jax.random.normal(
+            jax.random.PRNGKey(0), (B, E), jnp.float32
+        )
+    )()
+    c = jax.jit(
+        lambda: jax.random.normal(
+            jax.random.PRNGKey(1), (N, E), jnp.float32
+        )
+    )()
     jax.block_until_ready((q, c))
 
     @jax.jit
@@ -259,20 +279,38 @@ def main():
         default="pallas",
         choices=["pallas", "partial_reduce"],
     )
+    ap.add_argument(
+        "--scale",
+        default="hm",
+        choices=["hm", "synthetic10m"],
+        help="hm = reference H&M scale; synthetic10m = BASELINE "
+        "config[2] single-chip slice (10M items, 10M users, E=64)",
+    )
     args = ap.parse_args()
+
+    if args.scale == "synthetic10m":
+        sizes = dict(
+            n_customers=10_000_000, n_articles=10_000_000, emb_dim=64
+        )
+        retrieval_cfg = (8, 1024, 10_000_000, 64, 100)
+    else:
+        sizes = {}
+        retrieval_cfg = (20, 1024, 131072, 128, 100)
 
     details = {
         "device": str(jax.devices()[0]),
         "backend": jax.default_backend(),
+        "scale": args.scale,
     }
     details.update(
-        bench_training(args.steps, args.batch, sparse=not args.dense)
+        bench_training(
+            args.steps, args.batch, sparse=not args.dense, **sizes
+        )
     )
     if not args.skip_retrieval:
         details.update(
             bench_retrieval(
-                20, 1024, 131072, 128, 100,
-                method=args.retrieval_method,
+                *retrieval_cfg, method=args.retrieval_method
             )
         )
 

@@ -95,11 +95,13 @@ class ShardDataset:
         ``>= shuffle_buffer_size`` rows (chunk-granular analog of tf.data's
         reservoir shuffle, ref: tfrecord_dataset.py:90-97).
         """
-        rng = (
-            np.random.default_rng(seed) if seed is not None else None
-        )
+        # shuffling without an explicit seed still shuffles (fresh
+        # entropy) — it must never silently degrade to written order
+        rng = None
+        if shuffle_buffer_size > 0:
+            rng = np.random.default_rng(seed)
         order = np.arange(len(self.shard_paths))
-        if shuffle_buffer_size > 0 and rng is not None:
+        if rng is not None:
             rng.shuffle(order)
 
         pending: Optional[Batch] = None  # carry-over rows

@@ -126,12 +126,16 @@ class BruteForceIndex:
         ids_parts, emb_parts = [], []
         for batch in batches:
             n = len(batch[candidate_id_col])
-            if n < batch_size:  # pad the tail batch, trim after
-                batch = {
-                    key: np.pad(
-                        np.asarray(v), (0, batch_size - n)
+            if n < batch_size:  # pad the tail batch (axis 0), trim after
+                def _pad(v):
+                    v = np.asarray(v)
+                    widths = [(0, batch_size - n)] + [(0, 0)] * (
+                        v.ndim - 1
                     )
-                    for key, v in batch.items()
+                    return np.pad(v, widths)
+
+                batch = {
+                    key: _pad(v) for key, v in batch.items()
                 }
             emb = np.asarray(embed_fn(batch))[:n]
             ids_parts.append(np.asarray(batch[candidate_id_col])[:n])
@@ -164,15 +168,27 @@ class BruteForceIndex:
         if method == "pallas":
             from hm_retrieval_tpu.ops.pallas_retrieval import (
                 pallas_exact_topk,
+                pick_bins,
             )
 
-            top_scores, top_idx, _ = pallas_exact_topk(
-                query_embeddings,
-                embeddings[:n_real],
+            L = pick_bins(
+                query_embeddings.shape[0],
+                query_embeddings.shape[1],
                 k,
                 keep_per_bin=2,
             )
-            return top_scores, jnp.take(identifiers, top_idx)
+            if L is not None:
+                top_scores, top_idx, _ = pallas_exact_topk(
+                    query_embeddings,
+                    embeddings[:n_real],
+                    k,
+                    L=L,
+                    keep_per_bin=2,
+                )
+                return top_scores, jnp.take(identifiers, top_idx)
+            # no feasible (k, B) kernel config: fall through to the XLA
+            # PartialReduce path below
+            method = "partial_reduce"
         scores = (
             jnp.dot(
                 query_embeddings,

@@ -65,17 +65,32 @@ def apply_embeddings(
     params: Params,
     features: List[Feature],
     batch: Dict[str, jax.Array],
+    rows: Dict[str, jax.Array] = None,
 ) -> jax.Array:
     """Gather + concat. ``batch[name]`` is (B,) int32 for categorical
     features, (B, max_len) int32 for sequence features (0 = pad, masked
-    mean-pooled to (B, E)), and (B,) float32 for numeric ones."""
+    mean-pooled to (B, E)), and (B,) float32 for numeric ones.
+
+    ``rows``: optional pre-gathered table rows per feature ((B, E) /
+    (B, L, E)) replacing the ``params`` lookups — the sparse-optimizer
+    differentiation point (models/sparse_optimizer.py). Pooling/concat
+    stay shared so the dense and sparse paths cannot drift apart."""
     parts = []
     for f in features:
         x = batch[f.name]
         if f.kind == FeatureKind.CATEGORICAL:
-            parts.append(jnp.take(params[f.name], x, axis=0))
+            emb = (
+                rows[f.name]
+                if rows is not None and f.name in rows
+                else jnp.take(params[f.name], x, axis=0)
+            )
+            parts.append(emb)
         elif f.kind == FeatureKind.SEQUENCE:
-            emb = jnp.take(params[f.name], x, axis=0)  # (B, L, E)
+            emb = (
+                rows[f.name]
+                if rows is not None and f.name in rows
+                else jnp.take(params[f.name], x, axis=0)
+            )  # (B, L, E)
             mask = (x != 0).astype(emb.dtype)          # (B, L)
             denom = jnp.maximum(
                 mask.sum(axis=1, keepdims=True), 1.0

@@ -78,15 +78,19 @@ def mixed_negatives_loss(
         q, c_neg.T, preferred_element_type=jnp.float32
     )
 
+    # Corrections come as a pair: relative offsets between the two column
+    # groups are what matters, so apply either both or neither — applying
+    # only the uniform term (when logQ is disabled) would systematically
+    # boost uniform negatives in the softmax.
     if model.logq is not None:
         corr_in = jnp.take(
             model.logq, batch[model.candidate_id_col], axis=0
         ) + jnp.log(jnp.float32(B))
         logits_in = logits_in - corr_in[None, :]
-    corr_neg = jnp.log(
-        jnp.float32(num_uniform) / catalog.num_candidates
-    )
-    logits_neg = logits_neg - corr_neg
+        corr_neg = jnp.log(
+            jnp.float32(num_uniform) / catalog.num_candidates
+        )
+        logits_neg = logits_neg - corr_neg
 
     logits = jnp.concatenate([logits_in, logits_neg], axis=1)
     log_probs = jax.nn.log_softmax(logits, axis=-1)

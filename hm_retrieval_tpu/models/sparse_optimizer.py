@@ -79,49 +79,15 @@ def _gather_rows(params, model, batch):
 
 
 def _forward_from_rows(params, model, batch, rows):
-    """Tower forward where table lookups are replaced by the provided
-    rows (differentiation point for sparse grads)."""
-
-    def tower(tower_name, features):
-        parts = []
-        for f in features:
-            if f.kind == FeatureKind.CATEGORICAL:
-                parts.append(rows[tower_name][f.name])
-            elif f.kind == FeatureKind.SEQUENCE:
-                emb = rows[tower_name][f.name]  # (B, L, E)
-                ids = batch[f.name]
-                mask = (ids != 0).astype(emb.dtype)
-                denom = jnp.maximum(
-                    mask.sum(axis=1, keepdims=True), 1.0
-                )
-                parts.append(
-                    (emb * mask[:, :, None]).sum(axis=1) / denom
-                )
-            else:
-                parts.append(
-                    batch[f.name].astype(jnp.float32)[:, None]
-                )
-        x = jnp.concatenate(parts, axis=-1)
-        for layer in params[tower_name]["dense"]:
-            x = jax.nn.relu(
-                jnp.dot(
-                    x,
-                    layer["w"],
-                    preferred_element_type=jnp.float32,
-                )
-                + layer["b"]
-            )
-        return x
-
-    q = tower("query_tower", model.query_features)
-    c = tower("candidate_tower", model.candidate_features)
-    logits = jnp.dot(q, c.T, preferred_element_type=jnp.float32)
-    if model.logq is not None:
-        logits = logits - jnp.take(
-            model.logq, batch[model.candidate_id_col], axis=0
-        )[None, :]
-    log_probs = jax.nn.log_softmax(logits, axis=-1)
-    return -jnp.sum(jnp.diagonal(log_probs))
+    """Loss with table lookups replaced by the provided rows — shares the
+    exact forward/loss code with the dense path via the ``rows``
+    override, so the two training paths cannot drift apart."""
+    return model.loss(
+        params,
+        batch,
+        query_rows=rows["query_tower"],
+        candidate_rows=rows["candidate_tower"],
+    )
 
 
 def _sparse_adagrad_update(

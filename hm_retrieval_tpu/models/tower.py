@@ -73,10 +73,14 @@ def tower_forward(
     params: TowerParams,
     features: List[Feature],
     batch: Dict[str, jax.Array],
+    rows: Dict[str, jax.Array] = None,
 ) -> jax.Array:
     """(B,) feature dict -> (B, joint_embedding_size). Every layer,
-    including the last, uses ReLU (ref: tower.py:36-49)."""
-    x = apply_embeddings(params["embeddings"], features, batch)
+    including the last, uses ReLU (ref: tower.py:36-49). ``rows``
+    optionally overrides table gathers (see apply_embeddings)."""
+    x = apply_embeddings(
+        params["embeddings"], features, batch, rows=rows
+    )
     for layer in params["dense"]:
         x = jax.nn.relu(
             jnp.dot(x, layer["w"], preferred_element_type=jnp.float32)

@@ -117,31 +117,61 @@ class TwoTowerModel:
     # ------------------------------------------------------------------
     # Forward
     # ------------------------------------------------------------------
-    def query_forward(self, params: Dict, batch: Batch) -> jax.Array:
+    def query_forward(
+        self, params: Dict, batch: Batch, rows=None
+    ) -> jax.Array:
         return tower_forward(
-            params["query_tower"], self.query_features, batch
+            params["query_tower"],
+            self.query_features,
+            batch,
+            rows=rows,
         )
 
-    def candidate_forward(self, params: Dict, batch: Batch) -> jax.Array:
+    def candidate_forward(
+        self, params: Dict, batch: Batch, rows=None
+    ) -> jax.Array:
         return tower_forward(
-            params["candidate_tower"], self.candidate_features, batch
+            params["candidate_tower"],
+            self.candidate_features,
+            batch,
+            rows=rows,
         )
 
-    def scores(self, params: Dict, batch: Batch) -> jax.Array:
+    def scores(
+        self,
+        params: Dict,
+        batch: Batch,
+        query_rows=None,
+        candidate_rows=None,
+    ) -> jax.Array:
         """(B, B) dot-product score matrix
         (ref: two_tower_model.py:65-92)."""
-        q = self.query_forward(params, batch)
-        c = self.candidate_forward(params, batch)
+        q = self.query_forward(params, batch, rows=query_rows)
+        c = self.candidate_forward(
+            params, batch, rows=candidate_rows
+        )
         return jnp.dot(q, c.T, preferred_element_type=jnp.float32)
 
     # ------------------------------------------------------------------
     # Loss
     # ------------------------------------------------------------------
-    def loss(self, params: Dict, batch: Batch) -> jax.Array:
+    def loss(
+        self,
+        params: Dict,
+        batch: Batch,
+        query_rows=None,
+        candidate_rows=None,
+    ) -> jax.Array:
         """In-batch sampled-softmax CE, SUM-reduced over the batch
         (ref: two_tower_model.py:94-124 + runner.py:79-82). With identity
-        labels this reduces to sum_i (logsumexp(row_i) - logits[i, i])."""
-        logits = self.scores(params, batch)
+        labels this reduces to sum_i (logsumexp(row_i) - logits[i, i]).
+        ``*_rows`` optionally replace table gathers (sparse path)."""
+        logits = self.scores(
+            params,
+            batch,
+            query_rows=query_rows,
+            candidate_rows=candidate_rows,
+        )
         if self.logq is not None:
             logits = apply_logq_correction(
                 logits, batch[self.candidate_id_col], self.logq

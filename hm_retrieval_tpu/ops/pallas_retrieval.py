@@ -40,6 +40,29 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = float("-inf")  # plain python scalars: jnp constants would be
 BIG_IDX = 2**31 - 1      # captured tracers inside the pallas kernel
 
+VMEM_BUDGET = 15_000_000  # conservative v5e per-core budget (of 16MB)
+
+
+def vmem_estimate(B: int, E: int, L: int, keep_per_bin: int) -> int:
+    """Rough per-core VMEM bytes: scores + thresholds(2) +
+    accumulators(2 or 4) + query block + double-buffered chunk."""
+    acc_bufs = 2 * keep_per_bin
+    return 4 * B * L * (1 + 2 + acc_bufs) + 4 * B * E + 8 * L * E
+
+
+def pick_bins(
+    B: int, E: int, k: int, keep_per_bin: int = 2
+) -> "int | None":
+    """Smallest lane-aligned bin count satisfying k <= L and the VMEM
+    budget, or None if no feasible L exists (caller should fall back to
+    the XLA exact path)."""
+    for L in (256, 384, 512, 768, 1024, 1536, 2048):
+        if L < k:
+            continue
+        if vmem_estimate(B, E, L, keep_per_bin) <= VMEM_BUDGET:
+            return L
+    return None
+
 
 def _bin_max_kernel(
     q_ref,      # (B, E) VMEM, resident
@@ -272,10 +295,24 @@ def pallas_exact_topk(
     """
     B, E = queries.shape
     N = candidates.shape[0]
+    if keep_per_bin not in (1, 2):
+        raise ValueError("keep_per_bin must be 1 or 2")
+    if L is None:
+        L = 512 if keep_per_bin == 1 else 256
     if k > L:
         raise ValueError(f"k={k} must be <= L={L}")
     if k > N:
         raise ValueError(f"k={k} > N={N}")
+    if (
+        vmem_estimate(B, E, L, keep_per_bin) > VMEM_BUDGET
+        and not interpret
+    ):
+        # Exceeding ~16MB/core wedges the remote Mosaic compiler rather
+        # than failing cleanly — refuse up front.
+        raise ValueError(
+            f"estimated VMEM {vmem_estimate(B, E, L, keep_per_bin)/1e6:.1f}"
+            f"MB exceeds the v5e budget; reduce L (got {L}) or batch {B}"
+        )
     n_pad = ((N + L - 1) // L) * L
     # bf16 operands with fp32 accumulation = XLA's default TPU matmul
     # precision for f32 inputs, at single-pass MXU speed and half the
@@ -284,21 +321,6 @@ def pallas_exact_topk(
     c_padded = jnp.pad(
         candidates.astype(compute_dtype), ((0, n_pad - N), (0, 0))
     )
-
-    if keep_per_bin not in (1, 2):
-        raise ValueError("keep_per_bin must be 1 or 2")
-    if L is None:
-        L = 512 if keep_per_bin == 1 else 256
-    # VMEM budget guard: exceeding ~16MB/core wedges the remote Mosaic
-    # compiler rather than failing cleanly. Rough per-core bytes:
-    # scores + thresholds(2) + accumulators(2 or 4) + iota temps(2).
-    acc_bufs = 2 * keep_per_bin
-    vmem = 4 * B * L * (1 + 2 + acc_bufs) + 4 * B * E + 8 * L * E
-    if vmem > 15_000_000 and not interpret:
-        raise ValueError(
-            f"estimated VMEM {vmem/1e6:.1f}MB exceeds the v5e budget; "
-            f"reduce L (got {L}) or batch {B}"
-        )
 
     thr_s0 = jnp.full((B, L), jnp.inf, jnp.float32)
     thr_i0 = jnp.full((B, L), -1, jnp.int32)

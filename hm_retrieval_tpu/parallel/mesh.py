@@ -35,25 +35,43 @@ def initialize_multihost(
 ) -> None:
     """Join the multi-host process group (SURVEY §5.8: the platform-native
     'NCCL init'). On TPU pods with default env configuration, call with no
-    arguments; arguments are for manual/CPU bring-up. No-op when already
-    initialized or single-process."""
-    if jax.process_count() > 1:
-        return  # already initialized by the runtime
+    arguments; arguments are for manual/CPU bring-up.
+
+    MUST run before any other JAX call — even ``jax.process_count()``
+    initializes the XLA backend and would make ``distributed.initialize``
+    fail. Failures from being already-initialized are tolerated; anything
+    else propagates (silently proceeding as a 1-process group on a pod
+    would corrupt training)."""
     try:
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
             num_processes=num_processes,
             process_id=process_id,
         )
-        logger.info(
-            "jax.distributed initialized: process %d/%d",
-            jax.process_index(),
-            jax.process_count(),
-        )
-    except Exception as e:  # single-host dev path
-        logger.info(
-            "jax.distributed.initialize skipped (%s)", e
-        )
+    except RuntimeError as e:
+        msg = str(e).lower()
+        if "already" in msg:
+            logger.info("jax.distributed already initialized")
+        elif "before" in msg and "jax" in msg:
+            # Backend already touched by this process. On a real pod this
+            # is a caller bug (init must be the first JAX call); warn
+            # loudly instead of silently proceeding as 1 process.
+            logger.warning(
+                "initialize_multihost called after backend init — "
+                "continuing single-process: %s", e
+            )
+        elif coordinator_address is None and num_processes is None:
+            # No pod/cluster env detected: single-host dev path.
+            logger.info(
+                "single-host run (no cluster env): %s", e
+            )
+        else:
+            raise
+    logger.info(
+        "process %d of %d",
+        jax.process_index(),
+        jax.process_count(),
+    )
 
 
 def make_mesh(

@@ -46,17 +46,18 @@ logger = logging.getLogger(__name__)
 
 
 def _pad_batch(batch: Dict[str, np.ndarray], size: int):
-    """Pad a tail batch to the static batch size; returns (batch, n)."""
+    """Pad a tail batch to the static batch size along axis 0 only
+    (2-D sequence features keep their width); returns (batch, n)."""
     n = len(next(iter(batch.values())))
     if n == size:
         return batch, n
-    return (
-        {
-            k: np.pad(np.asarray(v), (0, size - n))
-            for k, v in batch.items()
-        },
-        n,
-    )
+
+    def pad(v):
+        v = np.asarray(v)
+        widths = [(0, size - n)] + [(0, 0)] * (v.ndim - 1)
+        return np.pad(v, widths)
+
+    return {k: pad(v) for k, v in batch.items()}, n
 
 
 def build_index(

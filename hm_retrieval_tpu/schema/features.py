@@ -219,7 +219,10 @@ class Feature:
         table = self._lookup()
         out = np.zeros((len(values), self.max_len), np.int32)
         for r, toks in enumerate(values):
-            if toks is None:
+            # pandas encodes missing list cells as float NaN
+            if toks is None or (
+                isinstance(toks, float) and np.isnan(toks)
+            ):
                 continue
             toks = list(toks)[-self.max_len:]
             for j, tok in enumerate(toks):

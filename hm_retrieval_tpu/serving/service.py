@@ -81,7 +81,7 @@ class RetrievalService:
                 raise KeyError(
                     f"missing query feature {f.name!r}"
                 )
-            vals = np.asarray(raw[f.name])
+            vals = raw[f.name]
             if n is None:
                 n = len(vals)
             elif len(vals) != n:
@@ -89,10 +89,13 @@ class RetrievalService:
                     "query features have inconsistent lengths"
                 )
             if f.kind == FeatureKind.CATEGORICAL:
-                batch[f.name] = f.encode(vals)
+                batch[f.name] = f.encode(np.asarray(vals))
+            elif f.kind == FeatureKind.SEQUENCE:
+                # vals is a list of per-row token lists (ragged ok)
+                batch[f.name] = f.encode_sequence(list(vals))
             else:
                 batch[f.name] = f.transform_numeric(
-                    vals.astype(np.float32)
+                    np.asarray(vals, dtype=np.float32)
                 )
         return batch
 

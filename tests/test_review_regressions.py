@@ -1,0 +1,241 @@
+"""Regression tests for the round-1 code-review findings."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hm_retrieval_tpu.data.dataset import ShardDataset
+from hm_retrieval_tpu.data.shard_writer import ShardWriter
+from hm_retrieval_tpu.ops.pallas_retrieval import (
+    VMEM_BUDGET,
+    pallas_exact_topk,
+    pick_bins,
+    vmem_estimate,
+)
+from hm_retrieval_tpu.runners.modelling import _pad_batch
+from hm_retrieval_tpu.schema import Feature, FeatureFamily, FeatureKind
+
+
+class TestPallasDefaults:
+    def test_default_L_does_not_crash(self, rng):
+        # finding 1: L was used before its None-default was applied
+        q = rng.normal(size=(4, 16)).astype(np.float32)
+        c = rng.normal(size=(600, 16)).astype(np.float32)
+        for keep in (1, 2):
+            v, i, _ = pallas_exact_topk(
+                jnp.asarray(q),
+                jnp.asarray(c),
+                8,
+                interpret=True,
+                compute_dtype=jnp.float32,
+                keep_per_bin=keep,
+            )
+            ref = np.sort(q @ c.T, axis=1)[:, -8:]
+            np.testing.assert_allclose(
+                np.sort(np.asarray(v), axis=1), ref, rtol=1e-5
+            )
+
+    def test_pick_bins_respects_k_and_vmem(self):
+        # k=1000 needs L>=1024; small batch fits
+        L = pick_bins(B=64, E=128, k=1000, keep_per_bin=2)
+        assert L is not None and L >= 1000
+        assert vmem_estimate(64, 128, L, 2) <= VMEM_BUDGET
+        # huge batch + huge k: infeasible -> None (index falls back)
+        assert pick_bins(B=4096, E=128, k=2000) is None
+
+    def test_kernel_k_exceeding_default_bins_rejected(self, rng):
+        with pytest.raises(ValueError, match="<= L"):
+            pallas_exact_topk(
+                jnp.zeros((2, 8)),
+                jnp.zeros((2048, 8)),
+                300,  # > default L=256 for keep_per_bin=2
+                interpret=True,
+                keep_per_bin=2,
+            )
+
+
+class TestPadBatch2D:
+    def test_sequence_column_keeps_width(self):
+        # finding 5: np.pad over all axes widened (n, L) tails
+        batch = {
+            "article_id": np.arange(3, dtype=np.int32),
+            "history": np.ones((3, 16), np.int32),
+        }
+        padded, n = _pad_batch(batch, 8)
+        assert n == 3
+        assert padded["article_id"].shape == (8,)
+        assert padded["history"].shape == (8, 16)
+
+
+class TestUnseededShuffle:
+    def test_shuffle_without_seed_still_shuffles(self, tmp_path):
+        # finding 8: missing seed silently disabled shuffling
+        f = Feature(
+            "uid",
+            FeatureKind.CATEGORICAL,
+            FeatureFamily.QUERY,
+            embedding_size=2,
+            vocab=np.array([f"u{i}" for i in range(200)]),
+        )
+        import pandas as pd
+
+        df = pd.DataFrame(
+            {"uid": [f"u{i % 200}" for i in range(200)]}
+        )
+        ShardWriter([f], max_rows=50).write_shards(
+            df, str(tmp_path)
+        )
+        ds = ShardDataset(str(tmp_path))
+        got = np.concatenate(
+            [
+                b["uid"]
+                for b in ds.iter_batches(
+                    50, shuffle_buffer_size=200
+                )
+            ]
+        )
+        assert not np.array_equal(
+            got, np.arange(1, 201, dtype=np.int32) % 201
+        )
+        assert sorted(got) == sorted(
+            f.encode(df["uid"].to_numpy())
+        )
+
+
+class TestSequenceNaN:
+    def test_nan_history_cell_encodes_as_empty(self):
+        # finding 7: pandas NaN list cells crashed encode_sequence
+        f = Feature(
+            "history",
+            FeatureKind.SEQUENCE,
+            FeatureFamily.QUERY,
+            embedding_size=2,
+            max_len=3,
+            vocab=np.array(["a", "b"]),
+        )
+        out = f.encode_sequence([["a"], float("nan"), None, ["b"]])
+        np.testing.assert_array_equal(
+            out, [[1, 0, 0], [0, 0, 0], [0, 0, 0], [2, 0, 0]]
+        )
+
+
+class TestServingSequence:
+    def test_sequence_query_feature_served(self):
+        # finding 3: serving crashed on sequence features
+        from hm_retrieval_tpu.indices.brute_force import (
+            BruteForceIndex,
+        )
+        from hm_retrieval_tpu.models import TwoTowerModel
+        from hm_retrieval_tpu.schema import (
+            ModelConfig,
+            Schema,
+            TrainingConfig,
+        )
+        from hm_retrieval_tpu.serving import RetrievalService
+
+        vocab = np.array([f"art_{i}" for i in range(20)])
+        schema = Schema(
+            features=[
+                Feature(
+                    "history",
+                    FeatureKind.SEQUENCE,
+                    FeatureFamily.QUERY,
+                    embedding_size=4,
+                    max_len=4,
+                    vocab=vocab,
+                ),
+                Feature(
+                    "article_id",
+                    FeatureKind.CATEGORICAL,
+                    FeatureFamily.CANDIDATE,
+                    embedding_size=4,
+                    vocab=vocab,
+                ),
+            ],
+            model_config=ModelConfig(joint_embedding_size=4, ks=[2]),
+            training_config=TrainingConfig(),
+        )
+        model = TwoTowerModel.create_from_schema(schema)
+        params = model.init_params(0)
+        idx = BruteForceIndex(
+            3,
+            np.arange(1, 21, dtype=np.int32),
+            np.asarray(
+                model.candidate_forward(
+                    params,
+                    {
+                        "article_id": np.arange(
+                            1, 21, dtype=np.int32
+                        )
+                    },
+                )
+            ),
+        )
+        svc = RetrievalService(schema, params["query_tower"], idx)
+        out = svc.retrieve(
+            {"history": [["art_1", "art_5"], []]}, k=3
+        )
+        assert len(out) == 2 and len(out[0]) == 3
+        assert all(r.startswith("art_") for r in out[0])
+
+
+class TestMixedNegativesNoLogq:
+    def test_no_correction_when_logq_disabled(self, rng):
+        # finding 6: uniform correction applied without in-batch term
+        from hm_retrieval_tpu.models import TwoTowerModel
+        from hm_retrieval_tpu.models.mixed_negatives import (
+            CandidateCatalog,
+            mixed_negatives_loss,
+        )
+        import jax
+
+        vocab = np.array([f"a{i}" for i in range(10)])
+        model = TwoTowerModel(
+            query_features=[
+                Feature(
+                    "uid",
+                    FeatureKind.CATEGORICAL,
+                    FeatureFamily.QUERY,
+                    embedding_size=4,
+                    vocab=vocab,
+                )
+            ],
+            candidate_features=[
+                Feature(
+                    "article_id",
+                    FeatureKind.CATEGORICAL,
+                    FeatureFamily.CANDIDATE,
+                    embedding_size=4,
+                    vocab=vocab,
+                )
+            ],
+            candidate_id_col="article_id",
+            joint_embedding_size=4,
+            logq=None,
+        )
+        params = model.init_params(0)
+        catalog = CandidateCatalog(
+            {"article_id": np.arange(1, 11, dtype=np.int32)}
+        )
+        batch = {
+            "uid": np.array([1, 2], np.int32),
+            "article_id": np.array([3, 4], np.int32),
+        }
+        key = jax.random.PRNGKey(0)
+        loss = mixed_negatives_loss(
+            model, params, batch, catalog, key, 4
+        )
+        # manual: plain softmax over [in-batch | uniform], NO offsets
+        q = np.asarray(model.query_forward(params, batch))
+        c_in = np.asarray(model.candidate_forward(params, batch))
+        c_neg = np.asarray(
+            model.candidate_forward(
+                params, catalog.sample(key, 4)
+            )
+        )
+        logits = np.concatenate(
+            [q @ c_in.T, q @ c_neg.T], axis=1
+        )
+        lse = np.log(np.exp(logits).sum(axis=1))
+        manual = float(np.sum(lse - np.diag(q @ c_in.T)))
+        np.testing.assert_allclose(float(loss), manual, rtol=1e-5)
