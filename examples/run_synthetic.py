@@ -29,6 +29,18 @@ def main():
     ap.add_argument("--articles", type=int, default=2_000)
     ap.add_argument("--epochs", type=int, default=2)
     ap.add_argument("--batch-size", type=int, default=512)
+    ap.add_argument(
+        "--with-history",
+        action="store_true",
+        help="sequence-aware query tower over last-16 purchase "
+        "history (BASELINE config[3])",
+    )
+    ap.add_argument(
+        "--uniform-negatives",
+        type=int,
+        default=0,
+        help="extra uniform negatives per step (BASELINE config[4])",
+    )
     args = ap.parse_args()
 
     if args.platform:
@@ -82,19 +94,34 @@ def main():
         checkpoint_dirpath=f"{d}/artifacts/checkpoints",
         tensorboard_logs_dir=f"{d}/logs",
         profile_steps=None,
+        history_max_len=16 if args.with_history else None,
     )
     settings.to_json(f"{d}/settings.json")
 
     # Feature set mirrors the reference's main.py:32-111 shape
     # (customer/article ids + categorical side features).
-    schema = Schema(
-        features=[
+    query_features = [
+        Feature(
+            "customer_id",
+            FeatureKind.CATEGORICAL,
+            FeatureFamily.QUERY,
+            embedding_size=64,
+        ),
+    ]
+    if args.with_history:
+        query_features.append(
             Feature(
-                "customer_id",
-                FeatureKind.CATEGORICAL,
+                "purchase_history",
+                FeatureKind.SEQUENCE,
                 FeatureFamily.QUERY,
                 embedding_size=64,
-            ),
+                max_len=16,
+                shared_vocab_with="article_id",
+            )
+        )
+    schema = Schema(
+        features=query_features
+        + [
             Feature(
                 "article_id",
                 FeatureKind.CATEGORICAL,
@@ -127,6 +154,7 @@ def main():
             epochs=args.epochs,
             optimizer_name="adagrad",
             optimizer_kwargs={"learning_rate": 0.05},
+            num_uniform_negatives=args.uniform_negatives,
         ),
         candidate_id_col="article_id",
     )

@@ -18,6 +18,7 @@ import logging
 import pandas as pd
 
 from hm_retrieval_tpu.etl.transformations import (
+    add_history_column,
     date_filter,
     load_dataframe,
     save_dataframe,
@@ -39,6 +40,21 @@ def etl_runner(settings: Settings) -> None:
         articles, on=settings.article_id_column, how="inner"
     ).merge(customers, on=settings.customer_id_column, how="inner")
     logger.info("Merged frame has %d rows", len(merged))
+
+    if settings.history_max_len:
+        logger.info(
+            "Adding %s (last %d items)",
+            settings.history_column,
+            settings.history_max_len,
+        )
+        merged = add_history_column(
+            merged,
+            settings.customer_id_column,
+            settings.article_id_column,
+            settings.history_column,
+            settings.history_max_len,
+            date_col=settings.date_column,
+        )
 
     train = date_filter(
         merged,

@@ -72,6 +72,14 @@ class Settings:
     customer_id_column: str = "customer_id"
     article_id_column: str = "article_id"
 
+    # When set, ETL adds a per-transaction purchase-history column (the
+    # customer's previous N article ids, computed on the merged frame
+    # BEFORE the date split so test rows see train-period history;
+    # current row excluded -> no label leakage). Feeds a SEQUENCE query
+    # feature (BASELINE config[3]).
+    history_max_len: Optional[int] = None
+    history_column: str = "purchase_history"
+
     extra: dict = field(default_factory=dict)
 
     # ------------------------------------------------------------------

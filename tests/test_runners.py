@@ -38,6 +38,8 @@ from hm_retrieval_tpu.utils.pytree_io import (
 from hm_retrieval_tpu.utils.settings import Settings
 from hm_retrieval_tpu.utils.synthetic import generate_hm_like_csvs
 
+from tests.test_etl import make_settings
+
 
 @pytest.fixture(scope="module")
 def pipeline(tmp_path_factory):
@@ -150,6 +152,72 @@ class TestPipeline:
             "candidate_tower",
         }
         assert isinstance(loaded["query_tower"]["dense"], list)
+
+
+class TestHistoryPipeline:
+    def test_sequence_and_mixed_negative_pipeline(self, tmp_path):
+        """configs[3]+[4]: history ETL -> sequence shards -> mixed-
+        negative training -> eval, end to end."""
+        import dataclasses
+
+        raw = generate_hm_like_csvs(
+            os.path.join(str(tmp_path), "raw"),
+            n_transactions=4000,
+            n_customers=150,
+            n_articles=80,
+            seed=2,
+        )
+        settings = dataclasses.replace(
+            make_settings(tmp_path),
+            transactions_filepath=raw["transactions"],
+            articles_filepath=raw["articles"],
+            customers_filepath=raw["customers"],
+            train_start_date=raw["train_start"],
+            train_end_date=raw["train_end"],
+            test_start_date=raw["test_start"],
+            test_end_date=raw["test_end"],
+            history_max_len=8,
+        )
+        schema = Schema(
+            features=[
+                Feature(
+                    "customer_id",
+                    FeatureKind.CATEGORICAL,
+                    FeatureFamily.QUERY,
+                    embedding_size=8,
+                ),
+                Feature(
+                    "purchase_history",
+                    FeatureKind.SEQUENCE,
+                    FeatureFamily.QUERY,
+                    embedding_size=8,
+                    max_len=8,
+                    shared_vocab_with="article_id",
+                ),
+                Feature(
+                    "article_id",
+                    FeatureKind.CATEGORICAL,
+                    FeatureFamily.CANDIDATE,
+                    embedding_size=8,
+                ),
+            ],
+            model_config=ModelConfig(
+                joint_embedding_size=8, ks=[10]
+            ),
+            training_config=TrainingConfig(
+                train_batch_size=64,
+                test_batch_size=128,
+                candidate_batch_size=64,
+                epochs=2,
+                num_uniform_negatives=32,
+                optimizer_kwargs={"learning_rate": 0.05},
+            ),
+        )
+        etl_runner(settings)
+        build_schema_runner(settings, schema)
+        shard_writer_runner(settings)
+        results = modelling_runner(settings)
+        assert results["final"][10] > results["initial"][10]
 
 
 class TestMeshPipeline:
