@@ -33,7 +33,23 @@ def main():
         default=None,
         help="optional transaction fraction (BASELINE config[0]: 0.01)",
     )
+    ap.add_argument(
+        "--stages",
+        default="etl,schema,shards,model,baseline",
+        help="comma-separated subset of pipeline stages to run "
+        "(each stage reads its inputs from the workdir, mirroring "
+        "production pipeline steps — ref: README.md:59)",
+    )
+    ap.add_argument(
+        "--resume",
+        action="store_true",
+        help="resume training from the latest checkpoint",
+    )
     args = ap.parse_args()
+    stages = set(args.stages.split(","))
+    unknown = stages - {"etl", "schema", "shards", "model", "baseline"}
+    if unknown:
+        ap.error(f"unknown stages: {sorted(unknown)}")
 
     from hm_retrieval_tpu.runners import (
         baseline_modelling_runner,
@@ -154,15 +170,23 @@ def main():
         candidate_id_col="article_id",
     )
 
-    etl_runner(settings)
-    build_schema_runner(settings, schema)
-    shard_writer_runner(settings)
-    results = modelling_runner(settings)
-    baseline = baseline_modelling_runner(settings)
+    if "etl" in stages:
+        etl_runner(settings)
+    if "schema" in stages:
+        build_schema_runner(settings, schema)
+    if "shards" in stages:
+        shard_writer_runner(settings)
+    results = baseline = None
+    if "model" in stages:
+        results = modelling_runner(settings, resume=args.resume)
+    if "baseline" in stages:
+        baseline = baseline_modelling_runner(settings)
     print("\n=== Results ===")
-    print(f"untrained model recall: {results['initial']}")
-    print(f"trained model recall:   {results['final']}")
-    print(f"popularity baseline:    {baseline}")
+    if results:
+        print(f"untrained model recall: {results['initial']}")
+        print(f"trained model recall:   {results['final']}")
+    if baseline:
+        print(f"popularity baseline:    {baseline}")
 
 
 if __name__ == "__main__":
