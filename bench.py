@@ -289,8 +289,13 @@ def main():
     args = ap.parse_args()
 
     if args.scale == "synthetic10m":
+        # Single-chip slice of BASELINE config[2]: training tables sized
+        # so the scan's double-buffered {params, adagrad acc} carry fits
+        # 16GB HBM (the full 10M-item/50M-user config is the multi-host
+        # row-sharded path, parallel/sharded_training.py); retrieval runs
+        # the full 10M-item catalog.
         sizes = dict(
-            n_customers=10_000_000, n_articles=10_000_000, emb_dim=64
+            n_customers=5_000_000, n_articles=2_000_000, emb_dim=64
         )
         retrieval_cfg = (8, 1024, 10_000_000, 64, 100)
     else:
