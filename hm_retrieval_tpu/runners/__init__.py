@@ -8,10 +8,12 @@ from hm_retrieval_tpu.runners.checkpoint import (
 from hm_retrieval_tpu.runners.modelling import (
     build_index,
     evaluate,
+    evaluation_runner,
     modelling_runner,
 )
 
 __all__ = [
+    "evaluation_runner",
     "etl_runner",
     "build_schema_runner",
     "shard_writer_runner",

@@ -130,6 +130,63 @@ def evaluate(
     return metric.log_metric(epoch, writer)
 
 
+def evaluation_runner(
+    settings: Settings, mesh=None
+) -> Dict[int, float]:
+    """Eval-only stage: restore the latest checkpoint, rebuild the index
+    from the candidate tower, evaluate Recall@K, refresh the index
+    artifact. No training. (No reference analog — the reference can only
+    evaluate inside its train loop.)"""
+    schema = Schema.load(settings.schema_dirpath)
+    tc, mc = schema.training_config, schema.model_config
+    test_ds = ShardDataset(settings.test_shards_dirpath)
+    cand_ds = ShardDataset(settings.candidate_shards_dirpath)
+
+    model = TwoTowerModel.create_from_schema(schema)
+    optimizer = OptimizerFactory.get_optimizer(
+        tc.optimizer_name, tc.optimizer_kwargs
+    )
+    use_sparse = (
+        tc.use_sparse_embedding_optimizer
+        and tc.optimizer_name.lower() == "adagrad"
+        and mesh is None
+        and tc.num_uniform_negatives == 0
+    )
+    if use_sparse:
+        from hm_retrieval_tpu.models.sparse_optimizer import (
+            create_sparse_train_state,
+        )
+
+        state = create_sparse_train_state(
+            model, optimizer, seed=tc.seed
+        )
+    else:
+        state = create_train_state(model, optimizer, tc.seed)
+    ckpt = CheckpointManager(settings.checkpoint_dirpath)
+    state = ckpt.restore(state)
+    ckpt.close()
+
+    index = build_index(
+        model,
+        state.params,
+        cand_ds,
+        tc.candidate_batch_size,
+        min(max(mc.ks), cand_ds.num_rows),
+    )
+    res = evaluate(
+        model,
+        state.params,
+        index,
+        test_ds,
+        tc.test_batch_size,
+        mc.ks,
+        epoch=None,
+        mesh=mesh,
+    )
+    index.save(settings.index_dirpath)
+    return res
+
+
 def modelling_runner(
     settings: Settings,
     mesh=None,

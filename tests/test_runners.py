@@ -320,3 +320,15 @@ class TestPytreeIO:
         np.testing.assert_array_equal(
             loaded["d"], 2.5 * np.ones((2, 2))
         )
+
+
+class TestEvaluationRunner:
+    def test_eval_only_matches_final_recall(self, pipeline):
+        from hm_retrieval_tpu.runners import evaluation_runner
+
+        settings, results, _ = pipeline
+        res = evaluation_runner(settings)
+        # same checkpoint + same data => same recall as the final eval
+        assert res[50] == pytest.approx(
+            results["final"][50], abs=1e-9
+        )
