@@ -23,6 +23,10 @@ from hm_retrieval_tpu.parallel.sharded_embedding import (
     make_sharded_lookup,
     shard_table,
 )
+from hm_retrieval_tpu.parallel.sparse_data_parallel import (
+    make_dp_sparse_train_step,
+    replicate_sparse_state,
+)
 from hm_retrieval_tpu.parallel.sharded_training import (
     create_sharded_train_state,
     make_sharded_train_step,
@@ -40,6 +44,8 @@ __all__ = [
     "shard_batch",
     "make_dp_train_step",
     "replicate_state",
+    "make_dp_sparse_train_step",
+    "replicate_sparse_state",
     "make_global_negatives_loss",
     "make_sharded_lookup",
     "shard_table",

@@ -149,10 +149,11 @@ def evaluation_runner(
     use_sparse = (
         tc.use_sparse_embedding_optimizer
         and tc.optimizer_name.lower() == "adagrad"
-        and mesh is None
         and tc.num_uniform_negatives == 0
     )
     if use_sparse:
+        # checkpoints written by either sparse path (single-device or
+        # DP) hold a SparseTrainState
         from hm_retrieval_tpu.models.sparse_optimizer import (
             create_sparse_train_state,
         )
@@ -219,7 +220,6 @@ def modelling_runner(
     use_sparse = (
         tc.use_sparse_embedding_optimizer
         and tc.optimizer_name.lower() == "adagrad"
-        and mesh is None
         and tc.num_uniform_negatives == 0
     )
     if use_sparse:
@@ -228,15 +228,33 @@ def modelling_runner(
             make_sparse_train_step,
         )
 
-        logger.info("Using sparse embedding Adagrad train step")
         state = create_sparse_train_state(
             model, optimizer, seed=tc.seed
         )
-        step_fn = make_sparse_train_step(
-            model,
-            optimizer,
-            tc.optimizer_kwargs["learning_rate"],
-        )
+        if mesh is None:
+            logger.info("Using sparse embedding Adagrad train step")
+            step_fn = make_sparse_train_step(
+                model,
+                optimizer,
+                tc.optimizer_kwargs["learning_rate"],
+            )
+        else:
+            from hm_retrieval_tpu.parallel.sparse_data_parallel import (
+                make_dp_sparse_train_step,
+                replicate_sparse_state,
+            )
+
+            logger.info(
+                "Using data-parallel sparse embedding Adagrad "
+                "train step over the mesh"
+            )
+            state = replicate_sparse_state(state, mesh)
+            step_fn = make_dp_sparse_train_step(
+                model,
+                optimizer,
+                tc.optimizer_kwargs["learning_rate"],
+                mesh,
+            )
     else:
         state = create_train_state(model, optimizer, tc.seed)
         if mesh is not None:

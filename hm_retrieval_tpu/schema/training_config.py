@@ -37,8 +37,9 @@ class TrainingConfig:
     num_uniform_negatives: int = 0
     # Sparse embedding Adagrad: update only the table rows each batch
     # touches (exact dense parity; ~7x step speedup at H&M scale on v5e).
-    # Auto-falls-back to the dense step when the optimizer is not adagrad,
-    # a mesh is used, or mixed negatives are on.
+    # Auto-falls-back to the dense step when the optimizer is not adagrad
+    # or mixed negatives are on. Under a mesh the data-parallel sparse
+    # step (parallel/sparse_data_parallel.py) is used.
     use_sparse_embedding_optimizer: bool = True
     seed: int = 0
 
