@@ -32,6 +32,12 @@ from hm_retrieval_tpu.parallel.sharded_training import (
     make_sharded_train_step,
     param_shardings,
 )
+from hm_retrieval_tpu.parallel.sharded_sparse_training import (
+    create_sharded_sparse_state,
+    make_sharded_sparse_train_step,
+    sharded_sparse_specs,
+    unpad_params,
+)
 
 __all__ = [
     "DATA_AXIS",
@@ -54,4 +60,8 @@ __all__ = [
     "param_shardings",
     "make_distributed_topk",
     "shard_candidates",
+    "create_sharded_sparse_state",
+    "make_sharded_sparse_train_step",
+    "sharded_sparse_specs",
+    "unpad_params",
 ]
