@@ -167,12 +167,13 @@ class BruteForceIndex:
     ):
         if method == "pallas":
             from hm_retrieval_tpu.ops.pallas_retrieval import (
+                DEFAULT_Q_BLOCK,
                 pallas_exact_topk,
                 pick_bins,
             )
 
             L = pick_bins(
-                query_embeddings.shape[0],
+                min(query_embeddings.shape[0], DEFAULT_Q_BLOCK),
                 query_embeddings.shape[1],
                 k,
                 keep_per_bin=2,
@@ -182,7 +183,6 @@ class BruteForceIndex:
                     query_embeddings,
                     embeddings[:n_real],
                     k,
-                    L=L,
                     keep_per_bin=2,
                 )
                 return top_scores, jnp.take(identifiers, top_idx)

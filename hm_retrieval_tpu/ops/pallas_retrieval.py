@@ -42,6 +42,11 @@ BIG_IDX = 2**31 - 1      # captured tracers inside the pallas kernel
 
 VMEM_BUDGET = 15_000_000  # conservative v5e per-core budget (of 16MB)
 
+# Measured optimum at N=131k/E=128/k=100 on v5e (BASELINE.md): blocks of
+# 128 query rows with L=512-1024 bins beat one monolithic (1024, L=256)
+# launch 2.5x — more bins per row AND per-block round early-exit.
+DEFAULT_Q_BLOCK = 128
+
 
 def vmem_estimate(B: int, E: int, L: int, keep_per_bin: int) -> int:
     """Rough per-core VMEM bytes: scores + thresholds(2) +
@@ -53,15 +58,31 @@ def vmem_estimate(B: int, E: int, L: int, keep_per_bin: int) -> int:
 def pick_bins(
     B: int, E: int, k: int, keep_per_bin: int = 2
 ) -> "int | None":
-    """Smallest lane-aligned bin count satisfying k <= L and the VMEM
-    budget, or None if no feasible L exists (caller should fall back to
-    the XLA exact path)."""
-    for L in (256, 384, 512, 768, 1024, 1536, 2048):
-        if L < k:
-            continue
-        if vmem_estimate(B, E, L, keep_per_bin) <= VMEM_BUDGET:
+    """Lane-aligned bin count for the kernel: the smallest feasible L
+    at least ``4 * keep_per_bin * k`` (else the largest feasible), or
+    None if nothing satisfies k <= L and the VMEM budget (caller should
+    fall back to the XLA exact path).
+
+    Rationale: per-pass cost is independent of L (the VPU work is B*N
+    elements either way), while more bins mean shallower per-bin
+    collisions among the true top-k and fewer refinement rounds — but
+    the benefit saturates once expected collisions fit a round or two,
+    and oversizing L wastes VMEM/padding: measured at
+    q_block=128/N=131k/k=100, L=1024 runs 5.0ms vs 5.9ms for L=2048 and
+    11.2ms for the monolithic (B=1024, L=256) launch (BASELINE.md)."""
+    feasible = [
+        L
+        for L in (256, 384, 512, 768, 1024, 1536, 2048)
+        if L >= k
+        and vmem_estimate(B, E, L, keep_per_bin) <= VMEM_BUDGET
+    ]
+    if not feasible:
+        return None
+    target = 4 * keep_per_bin * k
+    for L in feasible:
+        if L >= target:
             return L
-    return None
+    return feasible[-1]
 
 
 def _bin_max_kernel(
@@ -100,12 +121,17 @@ def _bin_max_kernel(
     valid = flat < n_valid
     masked = jnp.where(elig & valid, scores, NEG_INF)
 
-    # Running lexicographic max per bin.
+    # Running lexicographic max per bin. A strict > suffices for the
+    # (score desc, index asc) order: grid steps run sequentially in
+    # increasing chunk order and each (row, bin) cell sees exactly one
+    # candidate per chunk, so an equal-score incumbent always has the
+    # smaller index and must win — which is exactly what > does. The
+    # explicit (masked == m) & (flat < a) tiebreak would be dead weight
+    # on the VPU (this kernel is compare/select-bound, BASELINE.md).
     m = m_ref[:]
-    a = a_ref[:]
-    take = (masked > m) | ((masked == m) & (flat < a))
+    take = masked > m
     m_ref[:] = jnp.where(take, masked, m)
-    a_ref[:] = jnp.where(take, flat, a)
+    a_ref[:] = jnp.where(take, flat, a_ref[:])
 
 
 def _bin_max2_kernel(
@@ -148,10 +174,15 @@ def _bin_max2_kernel(
     valid = flat < n_valid
     s = jnp.where(elig & valid, scores, NEG_INF)
 
+    # Strict > implements the (score desc, index asc) order here for the
+    # same streaming-order reason as _bin_max_kernel: equal-score
+    # incumbents always carry smaller indices. An element tying m2 is
+    # dropped this pass and revealed by the next round's eligibility
+    # test, preserving exactness.
     m1, a1 = m1_ref[:], a1_ref[:]
     m2, a2 = m2_ref[:], a2_ref[:]
-    gt1 = (s > m1) | ((s == m1) & (flat < a1))
-    gt2 = (s > m2) | ((s == m2) & (flat < a2))
+    gt1 = s > m1
+    gt2 = s > m2
     m1_ref[:] = jnp.where(gt1, s, m1)
     a1_ref[:] = jnp.where(gt1, flat, a1)
     m2_ref[:] = jnp.where(gt1, m1, jnp.where(gt2, s, m2))
@@ -266,62 +297,20 @@ def bin_max_round(
     )(q, c_padded, thr_s, thr_i)
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=(
-        "k",
-        "L",
-        "max_rounds",
-        "interpret",
-        "compute_dtype",
-        "keep_per_bin",
-    ),
-)
-def pallas_exact_topk(
-    queries: jax.Array,     # (B, E)
-    candidates: jax.Array,  # (N, E)
+def _topk_rounds(
+    queries: jax.Array,   # (B_blk, E), already compute_dtype
+    c_padded: jax.Array,  # (N_pad, E), already compute_dtype
     k: int,
-    L: int = None,
-    max_rounds: int = 8,
-    interpret: bool = False,
-    compute_dtype=jnp.bfloat16,
-    keep_per_bin: int = 1,
+    L: int,
+    n_valid: int,
+    max_rounds: int,
+    interpret: bool,
+    keep_per_bin: int,
 ):
-    """Exact top-k of Q @ C^T via streaming bin-max rounds.
-
-    Returns (values (B, k), indices (B, k), rounds). Indices of padded /
-    never-filled slots are valid candidate indices of lower rank (exact
-    set semantics hold for the true top-k prefix).
-    """
-    B, E = queries.shape
-    N = candidates.shape[0]
-    if keep_per_bin not in (1, 2):
-        raise ValueError("keep_per_bin must be 1 or 2")
-    if L is None:
-        L = 512 if keep_per_bin == 1 else 256
-    if k > L:
-        raise ValueError(f"k={k} must be <= L={L}")
-    if k > N:
-        raise ValueError(f"k={k} > N={N}")
-    if (
-        vmem_estimate(B, E, L, keep_per_bin) > VMEM_BUDGET
-        and not interpret
-    ):
-        # Exceeding ~16MB/core wedges the remote Mosaic compiler rather
-        # than failing cleanly — refuse up front.
-        raise ValueError(
-            f"estimated VMEM {vmem_estimate(B, E, L, keep_per_bin)/1e6:.1f}"
-            f"MB exceeds the v5e budget; reduce L (got {L}) or batch {B}"
-        )
-    n_pad = ((N + L - 1) // L) * L
-    # bf16 operands with fp32 accumulation = XLA's default TPU matmul
-    # precision for f32 inputs, at single-pass MXU speed and half the
-    # HBM traffic; pass compute_dtype=jnp.float32 for full precision.
-    queries = queries.astype(compute_dtype)
-    c_padded = jnp.pad(
-        candidates.astype(compute_dtype), ((0, n_pad - N), (0, 0))
-    )
-
+    """Refinement loop for ONE query block: streaming bin-max passes
+    until every hidden element is provably below the k-th value."""
+    N = n_valid
+    B = queries.shape[0]
     thr_s0 = jnp.full((B, L), jnp.inf, jnp.float32)
     thr_i0 = jnp.full((B, L), -1, jnp.int32)
 
@@ -345,6 +334,20 @@ def pallas_exact_topk(
     lead_v, sel = lax.top_k(vals, k)
     lead_i = jnp.take_along_axis(idxs, sel, axis=1)
 
+    def hidden_dominated(nthr_s, tau_hat):
+        """True iff no unrevealed element can beat the current k-th
+        value: every hidden element of bin b is <=_lex that bin's next
+        threshold (the weakest element the pass revealed), so its score
+        is <= nthr_s[b]; max_b nthr_s[b] < tau_hat makes every hidden
+        score strictly below tau (an exact-value stop — ties at tau
+        cannot change the top-k VALUES). Checking thresholds instead of
+        the round's revealed max makes the bound one pass tighter: the
+        old rule needed an extra streaming pass purely to observe a
+        round whose maximum fell below tau."""
+        return jnp.all(jnp.max(nthr_s, axis=1) < tau_hat)
+
+    done0 = hidden_dominated(thr_s, lead_v[:, k - 1])
+
     def cond(state):
         _, _, _, _, done, r = state
         return jnp.logical_and(~done, r < max_rounds)
@@ -358,9 +361,7 @@ def pallas_exact_topk(
         all_i = jnp.concatenate([lead_i, cand_i], axis=1)
         new_v, msel = lax.top_k(all_v, k)
         new_i = jnp.take_along_axis(all_i, msel, axis=1)
-        tau_hat = new_v[:, k - 1]
-        round_max = cand_v[:, 0]
-        done = jnp.all(round_max < tau_hat)
+        done = hidden_dominated(nthr_s, new_v[:, k - 1])
         return new_v, new_i, nthr_s, nthr_i, done, r + 1
 
     lead_v, lead_i, _, _, _, rounds = lax.while_loop(
@@ -371,8 +372,107 @@ def pallas_exact_topk(
             lead_i,
             thr_s,
             thr_i,
-            jnp.asarray(False),
+            done0,
             jnp.int32(1),
         ),
     )
     return lead_v, lead_i, rounds
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "k",
+        "L",
+        "max_rounds",
+        "interpret",
+        "compute_dtype",
+        "keep_per_bin",
+        "q_block",
+    ),
+)
+def pallas_exact_topk(
+    queries: jax.Array,     # (B, E)
+    candidates: jax.Array,  # (N, E)
+    k: int,
+    L: int = None,
+    max_rounds: int = 8,
+    interpret: bool = False,
+    compute_dtype=jnp.bfloat16,
+    keep_per_bin: int = 2,
+    q_block: int = DEFAULT_Q_BLOCK,
+):
+    """Exact top-k of Q @ C^T via streaming bin-max rounds.
+
+    Returns (values (B, k), indices (B, k), rounds = max over query
+    blocks). Indices of padded / never-filled slots are valid candidate
+    indices of lower rank (exact set semantics hold for the true top-k
+    prefix).
+
+    Large batches are processed in blocks of ``q_block`` rows, each with
+    its own refinement loop. Small blocks win twice (measured 2.5x at
+    B=1024/N=131k/E=128/k=100, BASELINE.md): the VMEM freed by fewer
+    resident rows buys more bins L (shallower per-bin collisions among
+    the true top-k), and the done-test is all-rows-done PER BLOCK, so
+    one deep-collision straggler row no longer forces an extra full
+    pass over every other row in the batch.
+    """
+    B, E = queries.shape
+    N = candidates.shape[0]
+    if keep_per_bin not in (1, 2):
+        raise ValueError("keep_per_bin must be 1 or 2")
+    B_blk = min(B, q_block) if q_block else B
+    if L is None:
+        L = pick_bins(B_blk, E, k, keep_per_bin)
+        if L is None:
+            raise ValueError(
+                f"no feasible bin count for B={B_blk}, E={E}, k={k} "
+                "within the VMEM budget; use the XLA exact path instead"
+            )
+    if k > L:
+        raise ValueError(f"k={k} must be <= L={L}")
+    if k > N:
+        raise ValueError(f"k={k} > N={N}")
+    if (
+        vmem_estimate(B_blk, E, L, keep_per_bin) > VMEM_BUDGET
+        and not interpret
+    ):
+        # Exceeding ~16MB/core wedges the remote Mosaic compiler rather
+        # than failing cleanly — refuse up front.
+        raise ValueError(
+            "estimated VMEM "
+            f"{vmem_estimate(B_blk, E, L, keep_per_bin)/1e6:.1f}"
+            f"MB exceeds the v5e budget; reduce L (got {L}) or "
+            f"q_block {B_blk}"
+        )
+    n_pad = ((N + L - 1) // L) * L
+    # bf16 operands with fp32 accumulation = XLA's default TPU matmul
+    # precision for f32 inputs, at single-pass MXU speed and half the
+    # HBM traffic; pass compute_dtype=jnp.float32 for full precision.
+    queries = queries.astype(compute_dtype)
+    c_padded = jnp.pad(
+        candidates.astype(compute_dtype), ((0, n_pad - N), (0, 0))
+    )
+
+    vs, idxs, rounds = [], [], jnp.int32(0)
+    for s in range(0, B, B_blk):
+        v, i, r = _topk_rounds(
+            queries[s : s + B_blk],
+            c_padded,
+            k,
+            L,
+            N,
+            max_rounds,
+            interpret,
+            keep_per_bin,
+        )
+        vs.append(v)
+        idxs.append(i)
+        rounds = jnp.maximum(rounds, r)
+    if len(vs) == 1:
+        return vs[0], idxs[0], rounds
+    return (
+        jnp.concatenate(vs, axis=0),
+        jnp.concatenate(idxs, axis=0),
+        rounds,
+    )

@@ -43,12 +43,25 @@ class TestPallasDefaults:
         # huge batch + huge k: infeasible -> None (index falls back)
         assert pick_bins(B=4096, E=128, k=2000) is None
 
-    def test_kernel_k_exceeding_default_bins_rejected(self, rng):
+    def test_kernel_k_exceeding_explicit_bins_rejected(self, rng):
         with pytest.raises(ValueError, match="<= L"):
             pallas_exact_topk(
                 jnp.zeros((2, 8)),
                 jnp.zeros((2048, 8)),
-                300,  # > default L=256 for keep_per_bin=2
+                300,
+                L=256,
+                interpret=True,
+                keep_per_bin=2,
+            )
+
+    def test_kernel_infeasible_default_rejected(self, rng):
+        # k beyond the largest lane-aligned bin count: the dynamic
+        # default (pick_bins) must refuse rather than crash in Mosaic
+        with pytest.raises(ValueError, match="no feasible bin count"):
+            pallas_exact_topk(
+                jnp.zeros((2, 8)),
+                jnp.zeros((4096, 8)),
+                3000,
                 interpret=True,
                 keep_per_bin=2,
             )
