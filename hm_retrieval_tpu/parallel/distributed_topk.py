@@ -51,25 +51,65 @@ def shard_candidates(
     )
 
 
-def make_distributed_topk(mesh, k: int):
+def make_distributed_topk(
+    mesh,
+    k: int,
+    method: str = "xla",
+    interpret: bool = False,
+    compute_dtype=None,
+):
     """Returns topk(queries, emb, ids, bias) -> (scores (B,k), ids (B,k)).
 
     ``queries`` replicated; ``emb``/``ids``/``bias`` row-sharded as placed
     by ``shard_candidates``.
+
+    ``method``: "xla" materializes each shard's (B, N/S) score block and
+    takes ``lax.top_k``; "pallas" runs the streaming bin-max kernel
+    (ops/pallas_retrieval.py) per shard, never materializing scores in
+    HBM — the production path on real chips (``interpret=True`` runs it
+    on CPU for tests). Pad rows can't be excluded by a static row count
+    under SPMD (the count differs per shard), so the pallas path folds
+    the -inf score bias into the matmul as an extra feature column:
+    queries get a 1.0 coordinate and every row its bias, making pad-row
+    scores -inf exactly as the XLA path's ``+ bias`` does.
     """
+    if method not in ("xla", "pallas"):
+        raise ValueError(f"unknown method {method!r}")
 
     def local(queries, emb_shard, ids_shard, bias_shard):
-        # (B, n_local) local scores
-        s = (
-            jnp.dot(
-                queries,
-                emb_shard.T,
-                preferred_element_type=jnp.float32,
-            )
-            + bias_shard[None, :]
-        )
         kk = min(k, emb_shard.shape[0])
-        ls, li = jax.lax.top_k(s, kk)              # (B, kk) local
+        if method == "pallas":
+            from hm_retrieval_tpu.ops.pallas_retrieval import (
+                pallas_exact_topk,
+            )
+
+            q_aug = jnp.concatenate(
+                [queries, jnp.ones((queries.shape[0], 1), queries.dtype)],
+                axis=1,
+            )
+            c_aug = jnp.concatenate(
+                [emb_shard, bias_shard[:, None].astype(emb_shard.dtype)],
+                axis=1,
+            )
+            kw = (
+                {}
+                if compute_dtype is None
+                else {"compute_dtype": compute_dtype}
+            )
+            ls, li, _ = pallas_exact_topk(
+                q_aug, c_aug, kk, interpret=interpret, **kw
+            )
+        else:
+            # (B, n_local) local scores
+            s = (
+                jnp.dot(
+                    queries,
+                    emb_shard.T,
+                    preferred_element_type=jnp.float32,
+                )
+                + bias_shard[None, :]
+            )
+            ls, li = jax.lax.top_k(s, kk)          # (B, kk) local
         lids = jnp.take(ids_shard, li, axis=0)     # (B, kk) global ids
         # Gather every shard's leaderboard: (S, B, kk)
         all_s = jax.lax.all_gather(ls, MODEL_AXIS)

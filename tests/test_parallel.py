@@ -270,8 +270,23 @@ class TestShardedTraining:
         )
 
 
+def _make_topk(mesh, k, method):
+    # pallas on the CPU test mesh runs the kernel in interpret mode with
+    # fp32 compute so rankings match the fp32 XLA oracle exactly
+    if method == "pallas":
+        return make_distributed_topk(
+            mesh,
+            k,
+            method="pallas",
+            interpret=True,
+            compute_dtype=jnp.float32,
+        )
+    return make_distributed_topk(mesh, k)
+
+
 class TestDistributedTopk:
-    def test_matches_single_device(self, rng):
+    @pytest.mark.parametrize("method", ["xla", "pallas"])
+    def test_matches_single_device(self, rng, method):
         mesh = make_mesh(data=1, model=8)
         N, E, B, k = 1000, 16, 8, 10  # N not divisible by 8 -> padding
         emb = rng.normal(size=(N, E)).astype(np.float32)
@@ -282,7 +297,7 @@ class TestDistributedTopk:
         ids_ref = ids[np.asarray(i_ref)]
 
         semb, sids, sbias = shard_candidates(emb, ids, mesh)
-        topk = make_distributed_topk(mesh, k)
+        topk = _make_topk(mesh, k, method)
         s_dist, ids_dist = jax.jit(topk)(
             jnp.asarray(q), semb, sids, sbias
         )
@@ -294,14 +309,15 @@ class TestDistributedTopk:
             np.asarray(ids_dist), ids_ref
         )
 
-    def test_padding_never_selected(self, rng):
+    @pytest.mark.parametrize("method", ["xla", "pallas"])
+    def test_padding_never_selected(self, rng, method):
         mesh = make_mesh(data=1, model=8)
         N, E, k = 12, 4, 12  # tiny: heavy padding per shard
         emb = rng.normal(size=(N, E)).astype(np.float32)
         ids = np.arange(1, N + 1, dtype=np.int32)
         q = np.zeros((3, E), np.float32)
         semb, sids, sbias = shard_candidates(emb, ids, mesh)
-        topk = make_distributed_topk(mesh, k)
+        topk = _make_topk(mesh, k, method)
         s, got = jax.jit(topk)(jnp.asarray(q), semb, sids, sbias)
         assert set(np.asarray(got).ravel()) == set(ids)
         assert np.isfinite(np.asarray(s)).all()
