@@ -60,6 +60,23 @@ def _pad_batch(batch: Dict[str, np.ndarray], size: int):
     return {k: pad(v) for k, v in batch.items()}, n
 
 
+def _active_sharded_features(tc, mesh):
+    """Feature names to row-shard, or [] when the config asks for none
+    or the mesh has no model axis to shard over (warned, not fatal —
+    the replicated layout is always correct, just bigger)."""
+    feats = list(tc.sharded_embedding_features)
+    if not feats:
+        return []
+    if mesh is None or mesh.shape.get("model", 1) <= 1:
+        logger.warning(
+            "sharded_embedding_features %s requested but the mesh has "
+            "no model axis (> 1); training with replicated tables",
+            feats,
+        )
+        return []
+    return feats
+
+
 def build_index(
     model: TwoTowerModel,
     params,
@@ -151,15 +168,35 @@ def evaluation_runner(
         and tc.optimizer_name.lower() == "adagrad"
         and tc.num_uniform_negatives == 0
     )
+    sharded_feats = _active_sharded_features(tc, mesh)
     if use_sparse:
-        # checkpoints written by either sparse path (single-device or
-        # DP) hold a SparseTrainState
-        from hm_retrieval_tpu.models.sparse_optimizer import (
-            create_sparse_train_state,
+        # checkpoints written by any sparse path (single-device, DP, or
+        # row-sharded) hold a SparseTrainState; the row-sharded layout
+        # additionally pads + shards the big tables, so the restore
+        # template must match
+        if sharded_feats:
+            from hm_retrieval_tpu.parallel.sharded_sparse_training import (  # noqa: E501
+                create_sharded_sparse_state,
+            )
+
+            state = create_sharded_sparse_state(
+                model, optimizer, mesh, sharded_feats, seed=tc.seed
+            )
+        else:
+            from hm_retrieval_tpu.models.sparse_optimizer import (
+                create_sparse_train_state,
+            )
+
+            state = create_sparse_train_state(
+                model, optimizer, seed=tc.seed
+            )
+    elif sharded_feats:
+        from hm_retrieval_tpu.parallel.sharded_training import (
+            create_sharded_train_state,
         )
 
-        state = create_sparse_train_state(
-            model, optimizer, seed=tc.seed
+        state = create_sharded_train_state(
+            model, optimizer, mesh, sharded_feats, seed=tc.seed
         )
     else:
         state = create_train_state(model, optimizer, tc.seed)
@@ -222,17 +259,39 @@ def modelling_runner(
         and tc.optimizer_name.lower() == "adagrad"
         and tc.num_uniform_negatives == 0
     )
+    sharded_feats = _active_sharded_features(tc, mesh)
     if use_sparse:
         from hm_retrieval_tpu.models.sparse_optimizer import (
             create_sparse_train_state,
             make_sparse_train_step,
         )
 
-        state = create_sparse_train_state(
-            model, optimizer, seed=tc.seed
-        )
-        if mesh is None:
+        if sharded_feats:
+            from hm_retrieval_tpu.parallel.sharded_sparse_training import (  # noqa: E501
+                create_sharded_sparse_state,
+                make_sharded_sparse_train_step,
+            )
+
+            logger.info(
+                "Using row-sharded sparse Adagrad train step "
+                "(sharded tables: %s)",
+                sharded_feats,
+            )
+            state = create_sharded_sparse_state(
+                model, optimizer, mesh, sharded_feats, seed=tc.seed
+            )
+            step_fn = make_sharded_sparse_train_step(
+                model,
+                optimizer,
+                tc.optimizer_kwargs["learning_rate"],
+                mesh,
+                sharded_feats,
+            )
+        elif mesh is None:
             logger.info("Using sparse embedding Adagrad train step")
+            state = create_sparse_train_state(
+                model, optimizer, seed=tc.seed
+            )
             step_fn = make_sparse_train_step(
                 model,
                 optimizer,
@@ -248,13 +307,39 @@ def modelling_runner(
                 "Using data-parallel sparse embedding Adagrad "
                 "train step over the mesh"
             )
-            state = replicate_sparse_state(state, mesh)
+            state = replicate_sparse_state(
+                create_sparse_train_state(
+                    model, optimizer, seed=tc.seed
+                ),
+                mesh,
+            )
             step_fn = make_dp_sparse_train_step(
                 model,
                 optimizer,
                 tc.optimizer_kwargs["learning_rate"],
                 mesh,
             )
+    elif sharded_feats:
+        from hm_retrieval_tpu.parallel.sharded_training import (
+            create_sharded_train_state,
+            make_sharded_train_step,
+        )
+
+        logger.info(
+            "Using row-sharded dense train step (sharded tables: %s)",
+            sharded_feats,
+        )
+        state = create_sharded_train_state(
+            model, optimizer, mesh, sharded_feats, seed=tc.seed
+        )
+        step_fn = make_sharded_train_step(
+            model,
+            optimizer,
+            mesh,
+            catalog=catalog,
+            num_uniform_negatives=tc.num_uniform_negatives,
+            base_seed=tc.seed,
+        )
     else:
         state = create_train_state(model, optimizer, tc.seed)
         if mesh is not None:
@@ -269,7 +354,7 @@ def modelling_runner(
     profiler = StepProfiler(
         settings.tensorboard_logs_dir, settings.profile_steps
     )
-    if use_sparse:
+    if step_fn is not None:
         pass
     elif mesh is not None:
         from hm_retrieval_tpu.parallel.data_parallel import (
@@ -343,9 +428,18 @@ def modelling_runner(
         t_train += time.time() - t0
 
         ckpt.save(global_step, state)
-        export_model(state.params, settings.model_dirpath)
+        export_params = state.params
+        if sharded_feats:
+            # exports keep the unsharded contract: tables sliced back
+            # to their true vocab row counts
+            from hm_retrieval_tpu.parallel.sharded_sparse_training import (  # noqa: E501
+                unpad_params,
+            )
+
+            export_params = unpad_params(state.params, model)
+        export_model(export_params, settings.model_dirpath)
         # weight histograms per epoch (ref: histogram_freq=1)
-        writer.add_params_histograms(state.params, epoch + 1)
+        writer.add_params_histograms(export_params, epoch + 1)
 
     profiler.close()
     if t_train > 0:

@@ -50,6 +50,13 @@ class TrainingConfig:
     # If True, the in-batch softmax denominator spans the global batch via
     # all-gather of candidate embeddings (BASELINE.json north star).
     global_batch_negatives: bool = True
+    # Names of embedding-table features to row-shard P("model", None)
+    # over the mesh's model axis (big id tables whose table + optimizer
+    # state exceed one chip's HBM — BASELINE config[2]). Requires a mesh
+    # with model axis > 1; combines with the sparse optimizer
+    # (parallel/sharded_sparse_training.py) or the dense step
+    # (parallel/sharded_training.py). Empty = fully replicated params.
+    sharded_embedding_features: list = field(default_factory=list)
 
     def __post_init__(self):
         if self.train_batch_size <= 0 or self.test_batch_size <= 0:
@@ -77,6 +84,9 @@ class TrainingConfig:
             "seed": self.seed,
             "mesh_data_axis": self.mesh_data_axis,
             "global_batch_negatives": self.global_batch_negatives,
+            "sharded_embedding_features": list(
+                self.sharded_embedding_features
+            ),
         }
 
     @classmethod

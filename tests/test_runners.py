@@ -243,6 +243,48 @@ class TestMeshPipeline:
             < 0.15
         )
 
+    def test_modelling_runner_row_sharded_tables(self, pipeline):
+        """Train+eval with the big id tables row-sharded over a 2x4
+        data x model mesh (sharded_embedding_features config knob) —
+        the sparse row-sharded path end-to-end through the runner."""
+        import dataclasses
+
+        from hm_retrieval_tpu.parallel import make_mesh
+        from hm_retrieval_tpu.schema.schema import Schema
+
+        settings, single_results, _ = pipeline
+        d = os.path.dirname(settings.schema_dirpath)
+        settings_sh = dataclasses.replace(
+            settings,
+            schema_dirpath=f"{d}/schema_sharded",
+            checkpoint_dirpath=settings.checkpoint_dirpath + "_sh",
+            model_dirpath=settings.model_dirpath + "_sh",
+            index_dirpath=settings.index_dirpath + "_sh",
+        )
+        schema = Schema.load(settings.schema_dirpath)
+        schema.training_config.sharded_embedding_features = [
+            "customer_id",
+            "article_id",
+        ]
+        schema.save(settings_sh.schema_dirpath)
+
+        mesh = make_mesh(data=2, model=4)
+        results = modelling_runner(settings_sh, mesh=mesh)
+        assert results["final"][50] > results["initial"][50]
+        assert (
+            abs(results["final"][50] - single_results["final"][50])
+            < 0.15
+        )
+        # exports keep the unsharded contract (true vocab row counts)
+        exported = np.load(
+            f"{settings_sh.model_dirpath}/query_tower/params.npz"
+        )
+        live = np.load(
+            f"{settings.model_dirpath}/query_tower/params.npz"
+        )
+        for key in live.files:
+            assert exported[key].shape == live[key].shape, key
+
 
 class TestCheckpointResume:
     def _tiny_model(self):
