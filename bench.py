@@ -266,7 +266,10 @@ def bench_retrieval(
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--steps", type=int, default=50)
+    # 200 on-device steps: enough to amortize the fixed host<->device
+    # sync through the relay tunnel (~30ms), which at 50 steps inflated
+    # the per-step time ~2x (benchmarks/micro_sparse_step.py).
+    ap.add_argument("--steps", type=int, default=200)
     ap.add_argument("--batch", type=int, default=512)
     ap.add_argument("--skip-retrieval", action="store_true")
     ap.add_argument(
