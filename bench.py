@@ -303,7 +303,10 @@ def main():
         retrieval_cfg = (8, 1024, 10_000_000, 64, 100)
     else:
         sizes = {}
-        retrieval_cfg = (20, 1024, 131072, 128, 100)
+        # 100 on-device iters amortize the fixed tunnel sync (same
+        # reasoning as --steps; at 20 iters the 5ms batches read ~40%
+        # slower than their true device time)
+        retrieval_cfg = (100, 1024, 131072, 128, 100)
 
     details = {
         "device": str(jax.devices()[0]),

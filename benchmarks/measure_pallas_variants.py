@@ -23,7 +23,7 @@ import jax.numpy as jnp
 from hm_retrieval_tpu.ops.pallas_retrieval import pallas_exact_topk
 
 B, N, E, K = 1024, 131072, 128, 100
-ITERS = 20
+ITERS = 100
 
 
 def main():

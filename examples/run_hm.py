@@ -45,6 +45,26 @@ def main():
         action="store_true",
         help="resume training from the latest checkpoint",
     )
+    ap.add_argument(
+        "--mesh-data",
+        type=int,
+        default=None,
+        help="data-parallel mesh axis size (default: no mesh, "
+        "single device; use with --mesh-model for 2-D meshes)",
+    )
+    ap.add_argument(
+        "--mesh-model",
+        type=int,
+        default=1,
+        help="model-parallel mesh axis size for row-sharded tables",
+    )
+    ap.add_argument(
+        "--sharded-features",
+        default="",
+        help="comma-separated embedding tables to row-shard over the "
+        "model axis (e.g. customer_id,article_id; needs "
+        "--mesh-model > 1)",
+    )
     args = ap.parse_args()
     stages = set(args.stages.split(","))
     unknown = stages - {"etl", "schema", "shards", "model", "baseline"}
@@ -166,9 +186,20 @@ def main():
             epochs=args.epochs,
             optimizer_name="adagrad",
             optimizer_kwargs={"learning_rate": 0.05},
+            sharded_embedding_features=[
+                f for f in args.sharded_features.split(",") if f
+            ],
         ),
         candidate_id_col="article_id",
     )
+
+    mesh = None
+    if args.mesh_data is not None or args.mesh_model > 1:
+        from hm_retrieval_tpu.parallel import make_mesh
+
+        mesh = make_mesh(
+            data=args.mesh_data, model=args.mesh_model
+        )
 
     if "etl" in stages:
         etl_runner(settings)
@@ -178,7 +209,9 @@ def main():
         shard_writer_runner(settings)
     results = baseline = None
     if "model" in stages:
-        results = modelling_runner(settings, resume=args.resume)
+        results = modelling_runner(
+            settings, mesh=mesh, resume=args.resume
+        )
     if "baseline" in stages:
         baseline = baseline_modelling_runner(settings)
     print("\n=== Results ===")

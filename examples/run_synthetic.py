@@ -41,6 +41,24 @@ def main():
         default=0,
         help="extra uniform negatives per step (BASELINE config[4])",
     )
+    ap.add_argument(
+        "--mesh-data",
+        type=int,
+        default=None,
+        help="data-parallel mesh axis size (default: no mesh)",
+    )
+    ap.add_argument(
+        "--mesh-model",
+        type=int,
+        default=1,
+        help="model-parallel mesh axis size for row-sharded tables",
+    )
+    ap.add_argument(
+        "--sharded-features",
+        default="",
+        help="comma-separated embedding tables to row-shard over the "
+        "model axis (needs --mesh-model > 1)",
+    )
     args = ap.parse_args()
 
     if args.platform:
@@ -155,14 +173,25 @@ def main():
             optimizer_name="adagrad",
             optimizer_kwargs={"learning_rate": 0.05},
             num_uniform_negatives=args.uniform_negatives,
+            sharded_embedding_features=[
+                f for f in args.sharded_features.split(",") if f
+            ],
         ),
         candidate_id_col="article_id",
     )
 
+    mesh = None
+    if args.mesh_data is not None or args.mesh_model > 1:
+        from hm_retrieval_tpu.parallel import make_mesh
+
+        mesh = make_mesh(
+            data=args.mesh_data, model=args.mesh_model
+        )
+
     etl_runner(settings)
     build_schema_runner(settings, schema)
     shard_writer_runner(settings)
-    results = modelling_runner(settings)
+    results = modelling_runner(settings, mesh=mesh)
     baseline = baseline_modelling_runner(settings)
 
     print("\n=== Results ===")

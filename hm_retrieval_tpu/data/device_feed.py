@@ -26,7 +26,17 @@ def device_feed(
     prefetch: int = 2,
 ) -> Iterator[Dict[str, jax.Array]]:
     """Wrap a host batch iterator into sharded device arrays with
-    ``prefetch`` batches in flight."""
+    ``prefetch`` batches of HOST work in flight.
+
+    The background thread runs only the host side (shard reading,
+    shuffling, numpy batch assembly); every device interaction
+    (device_put / shard_batch) happens on the consumer's thread.
+    Issuing transfers from a second thread while the main thread runs a
+    collective program deadlocks XLA:CPU's in-process rendezvous (two
+    programs racing over overlapping device sets) — and buys nothing
+    anyway, since device_put is async: the consumer thread dispatches
+    the transfer and returns immediately, so transfer/compute overlap
+    is preserved without cross-thread device access."""
 
     def put(b: Batch):
         if mesh is None:
@@ -47,7 +57,7 @@ def device_feed(
     def worker():
         try:
             for b in batches:
-                q.put(put(b))
+                q.put({k: np.asarray(v) for k, v in b.items()})
         except Exception as e:  # surface in consumer
             err.append(e)
         finally:
@@ -59,6 +69,6 @@ def device_feed(
         item = q.get()
         if item is _END:
             break
-        yield item
+        yield put(item)
     if err:
         raise err[0]

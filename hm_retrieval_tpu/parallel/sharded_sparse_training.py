@@ -153,9 +153,23 @@ def make_sharded_sparse_train_step(
             f"features of this model (have {sorted(all_table_feats)})"
         )
 
-    def gather_rows_local(params, batch):
+    def seq(token, x):
+        """Sequencing primitive: the returned copy of ``x`` cannot be
+        computed before ``token`` is. XLA:CPU's thunk executor starts
+        mutually independent collectives in whatever order each
+        device's thread pool picks, and two devices blocking in
+        different collectives over intersecting device groups deadlock
+        the in-process rendezvous — so every hand-written collective in
+        this step is chained into one total order (observed: data-axis
+        all_gather racing the model-axis psum on the fake 8-device
+        mesh). On real TPUs the barrier costs nothing measurable: these
+        collectives move KBs."""
+        return jax.lax.optimization_barrier((token, x))[1]
+
+    def gather_rows_local(params, batch, token):
         """{tower: {feature: (b, E) or (b, L, E)}} — cross-shard psum
-        gather for sharded tables, plain local take otherwise."""
+        gather for sharded tables, plain local take otherwise.
+        Returns (rows, token) with the psums sequenced on ``token``."""
         out = {}
         for tower, feats in tables.items():
             out[tower] = {}
@@ -172,17 +186,22 @@ def make_sharded_sparse_train_step(
                         tbl, jnp.where(mine, local, 0), axis=0
                     )
                     rows = jnp.where(mine[:, None], rows, 0.0)
-                    rows = jax.lax.psum(rows, MODEL_AXIS)
+                    rows = jax.lax.psum(
+                        seq(token, rows), MODEL_AXIS
+                    )
+                    token = rows[0, 0]
                     out[tower][f.name] = rows.reshape(
                         ids.shape + (tbl.shape[1],)
                     )
                 else:
                     out[tower][f.name] = jnp.take(tbl, ids, axis=0)
-        return out
+        return out, token
 
     def local_step(state: SparseTrainState, batch):
         params = state.params
-        rows = gather_rows_local(params, batch)
+        token0 = jnp.zeros((), jnp.float32)
+        rows, token = gather_rows_local(params, batch, token0)
+        token = jax.lax.stop_gradient(token)
         dense_params = {
             t: {"dense": params[t]["dense"]} for t in params
         }
@@ -204,10 +223,13 @@ def make_sharded_sparse_train_step(
                 full, batch, rows=rows["candidate_tower"]
             )
             all_c = jax.lax.all_gather(
-                c, DATA_AXIS, axis=0, tiled=True
+                seq(token, c), DATA_AXIS, axis=0, tiled=True
             )
             all_ids = jax.lax.all_gather(
-                ids_local, DATA_AXIS, axis=0, tiled=True
+                seq(all_c[0, 0], ids_local),
+                DATA_AXIS,
+                axis=0,
+                tiled=True,
             )
             logits = jnp.dot(
                 q, all_c.T, preferred_element_type=jnp.float32
@@ -229,8 +251,15 @@ def make_sharded_sparse_train_step(
         loss_local, (g_dense, g_rows) = jax.value_and_grad(
             loss_fn, argnums=(0, 1)
         )(dense_params, rows)
-        loss = jax.lax.psum(loss_local, DATA_AXIS)
-        g_dense = jax.lax.psum(g_dense, DATA_AXIS)
+        # loss_local is ready before the backward pass, so its psum
+        # must be explicitly sequenced after the backward's
+        # reduce-scatter (the all_gather transpose) completes
+        grads_done = jax.tree.leaves(g_rows)[0].ravel()[0]
+        loss = jax.lax.psum(
+            seq(grads_done, loss_local), DATA_AXIS
+        )
+        g_dense = jax.lax.psum(seq(loss, g_dense), DATA_AXIS)
+        token = jax.tree.leaves(g_dense)[0].ravel()[0]
 
         updates, dense_opt_state = dense_optimizer.update(
             g_dense, state.dense_opt_state, dense_params
@@ -249,11 +278,15 @@ def make_sharded_sparse_train_step(
                 ids = batch[f.name].reshape(-1)
                 g = g_rows[tower][f.name].reshape(ids.shape[0], -1)
                 all_ids = jax.lax.all_gather(
-                    ids, DATA_AXIS, axis=0, tiled=True
+                    seq(token, ids), DATA_AXIS, axis=0, tiled=True
                 )
                 all_g = jax.lax.all_gather(
-                    g, DATA_AXIS, axis=0, tiled=True
+                    seq(all_ids[0], g),
+                    DATA_AXIS,
+                    axis=0,
+                    tiled=True,
                 )
+                token = all_g[0, 0]
                 tbl = params[tower]["embeddings"][f.name]
                 acc = state.sparse_state.accumulators[tower][f.name]
                 if f.name in sharded:
