@@ -42,6 +42,12 @@ def main():
         help="extra uniform negatives per step (BASELINE config[4])",
     )
     ap.add_argument(
+        "--export-savedmodel",
+        action="store_true",
+        help="also export the TF-Serving SavedModel deployment "
+        "artifact (serving/savedmodel_export.py)",
+    )
+    ap.add_argument(
         "--mesh-data",
         type=int,
         default=None,
@@ -113,6 +119,11 @@ def main():
         tensorboard_logs_dir=f"{d}/logs",
         profile_steps=None,
         history_max_len=16 if args.with_history else None,
+        savedmodel_dirpath=(
+            f"{d}/artifacts/savedmodel"
+            if args.export_savedmodel
+            else None
+        ),
     )
     settings.to_json(f"{d}/settings.json")
 

@@ -468,6 +468,24 @@ def modelling_runner(
         mesh=mesh,
     )
     index.save(settings.index_dirpath)
+    if settings.savedmodel_dirpath:
+        from hm_retrieval_tpu.serving.savedmodel_export import (
+            export_index_savedmodel,
+        )
+
+        final_params = state.params
+        if sharded_feats:
+            from hm_retrieval_tpu.parallel.sharded_sparse_training import (  # noqa: E501
+                unpad_params,
+            )
+
+            final_params = unpad_params(state.params, model)
+        export_index_savedmodel(
+            schema,
+            final_params["query_tower"],
+            index,
+            settings.savedmodel_dirpath,
+        )
     ckpt.close()
     writer.close()
     return results

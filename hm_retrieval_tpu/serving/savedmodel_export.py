@@ -1,0 +1,207 @@
+"""Export the retrieval path as a TF-Serving SavedModel.
+
+The reference's deployment artifact is a TF SavedModel whose concrete
+serving function takes ``(None, 1)`` string feature tensors and returns
+``(B, k)`` string candidate ids (ref: pkg/modelling/indices/
+brute_force.py:108-114, pkg/modelling/models/abstract_keras_model.py:
+109-131, README.md:101-105). The TPU-native framework keeps strings off
+the device (SURVEY §7), so serving normally goes through
+``serving/service.py`` (host-edge encode/decode around npz artifacts).
+
+This module closes the deployment-contract gap for users who serve with
+TF-Serving: it wraps the JAX query tower + exact top-k into a single
+self-contained SavedModel —
+
+    string features ─► tf.lookup.StaticHashTable (vocab -> int id, 0=OOV,
+                       mirroring the reference's StringLookup
+                       num_oov_indices=1, ref: input_layer.py:33-36)
+                   ─► jax2tf-converted tower forward + dot + top-k
+                       (weights stored as tf.Variables)
+                   ─► tf.gather over the candidate vocab (id -> string,
+                       id 0 -> "<OOV>", matching Feature.decode)
+
+The exported graph uses the portable XLA top-k path (not the Pallas TPU
+kernel) so the SavedModel runs on stock TF-Serving CPU/GPU images; the
+Pallas path remains the on-TPU serving fast path via RetrievalService.
+
+Only CATEGORICAL and NUMERIC query features are supported (the reference
+supports exactly tf.string / tf.float32, ref: pkg/schema/features.py:43);
+SEQUENCE features are a framework extension with no TF-Serving contract
+and raise.
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import List
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hm_retrieval_tpu.indices.brute_force import BruteForceIndex
+from hm_retrieval_tpu.models.tower import tower_forward
+from hm_retrieval_tpu.schema.features import Feature, FeatureKind
+from hm_retrieval_tpu.schema.schema import Schema
+
+logger = logging.getLogger(__name__)
+
+OOV_TOKEN = "<OOV>"
+
+
+def export_index_savedmodel(
+    schema: Schema,
+    query_tower_params,
+    index: BruteForceIndex,
+    out_dir: str,
+    platforms: List[str] = ("cpu",),
+) -> None:
+    """Write a servable SavedModel to ``out_dir``.
+
+    ``platforms``: jax2tf native-serialization targets (e.g. ["cpu"] for
+    stock TF-Serving, ["cpu", "tpu"] for Cloud TPU serving).
+    """
+    import tensorflow as tf
+    from jax.experimental import jax2tf
+
+    query_features = schema.query_features
+    for f in query_features:
+        if f.kind == FeatureKind.SEQUENCE:
+            raise ValueError(
+                "SavedModel export supports categorical/numeric query "
+                f"features only; {f.name!r} is a sequence feature "
+                "(serve it via serving.RetrievalService)"
+            )
+
+    # ---- device-side function (traced once by jax2tf) ----------------
+    # Closure-free: all weights arrive as explicit leaves so they become
+    # tf.Variables in the SavedModel instead of giant graph constants.
+    emb = np.asarray(index.embeddings)  # padded (N_pad, E)
+    bias = np.asarray(index._score_bias)  # (N_pad,), -inf on pad rows
+    ids = np.asarray(index.identifiers)  # (N_pad,) int
+    k = index.k
+
+    def _topk_ids(params, emb, bias, ids, int_batch):
+        q = tower_forward(params, query_features, int_batch)
+        scores = (
+            jnp.dot(q, emb.T, preferred_element_type=jnp.float32)
+            + bias[None, :]
+        )
+        _, top_idx = jax.lax.top_k(scores, k)
+        return jnp.take(ids, top_idx)
+
+    tf_fn = jax2tf.convert(
+        _topk_ids,
+        with_gradient=False,
+        native_serialization_platforms=tuple(platforms),
+        # dynamic batch dimension "b" on every feature input; weights
+        # (params/emb/bias/ids) are static
+        polymorphic_shapes=[
+            None,
+            None,
+            None,
+            None,
+            {f.name: "(b,)" for f in query_features},
+        ],
+    )
+
+    # ---- TF module ----------------------------------------------------
+    params_leaves, params_treedef = jax.tree.flatten(query_tower_params)
+
+    module = tf.Module()
+    module._variables = [
+        tf.Variable(np.asarray(leaf), trainable=False)
+        for leaf in params_leaves
+    ]
+    module._emb = tf.Variable(emb, trainable=False)
+    module._bias = tf.Variable(bias, trainable=False)
+    module._ids = tf.Variable(ids, trainable=False)
+
+    # String-edge lookup tables (one per categorical feature), exactly
+    # the encode contract of Feature.encode: vocab[i] -> i+1, OOV -> 0.
+    tables = {}
+    for f in query_features:
+        if f.kind == FeatureKind.CATEGORICAL:
+            vocab = np.asarray(f.vocab, dtype=str)
+            tables[f.name] = tf.lookup.StaticHashTable(
+                tf.lookup.KeyValueTensorInitializer(
+                    keys=tf.constant(list(vocab)),
+                    values=tf.constant(
+                        np.arange(1, len(vocab) + 1, dtype=np.int32)
+                    ),
+                ),
+                default_value=0,
+            )
+    module._tables = tables
+
+    # id -> string decode table for the returned candidates
+    # (Feature.decode: padded vocab with "<OOV>" at 0).
+    cid = schema.candidate_id_feature
+    decode_vocab = np.concatenate(
+        [np.array([OOV_TOKEN]), np.asarray(cid.vocab, dtype=str)]
+    )
+    module._decode = tf.constant(list(decode_vocab))
+
+    numeric_stats = {
+        f.name: (
+            float(f.mean) if f.standardize else 0.0,
+            float(f.std) if f.standardize else 1.0,
+        )
+        for f in query_features
+        if f.kind == FeatureKind.NUMERIC
+    }
+
+    # The reference serving signature: dict of (None, 1) tensors
+    # (ref: abstract_keras_model.py:30-44).
+    input_signature = [
+        {
+            f.name: tf.TensorSpec(
+                shape=(None, 1),
+                dtype=(
+                    tf.string
+                    if f.kind == FeatureKind.CATEGORICAL
+                    else tf.float32
+                ),
+                name=f.name,
+            )
+            for f in query_features
+        }
+    ]
+
+    def serve(raw):
+        int_batch = {}
+        for f in query_features:
+            x = tf.squeeze(raw[f.name], axis=1)
+            if f.kind == FeatureKind.CATEGORICAL:
+                int_batch[f.name] = module._tables[f.name].lookup(x)
+            else:
+                mean, std = numeric_stats[f.name]
+                x = (x - mean) / std
+                # NaN -> 0 after standardization (Feature.
+                # transform_numeric: missing reads as 'at the mean')
+                int_batch[f.name] = tf.where(
+                    tf.math.is_nan(x), tf.zeros_like(x), x
+                )
+        params = jax.tree.unflatten(
+            params_treedef, list(module._variables)
+        )
+        top_ids = tf_fn(
+            params, module._emb, module._bias, module._ids, int_batch
+        )
+        return {
+            "candidate_ids": tf.gather(module._decode, top_ids)
+        }
+
+    module.serve = tf.function(serve, input_signature=input_signature)
+    concrete = module.serve.get_concrete_function()
+    tf.saved_model.save(
+        module, out_dir, signatures={"serving_default": concrete}
+    )
+    logger.info(
+        "Exported TF-Serving SavedModel to %s (k=%d, %d candidates, "
+        "platforms=%s)",
+        out_dir,
+        k,
+        index.num_candidates,
+        list(platforms),
+    )

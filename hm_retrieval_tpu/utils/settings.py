@@ -60,6 +60,10 @@ class Settings:
     index_dirpath: str = "artifacts/index"
     baseline_index_dirpath: str = "artifacts/baseline_index"
     checkpoint_dirpath: str = "artifacts/checkpoints"
+    # When set, the modelling runner also exports a TF-Serving
+    # SavedModel (string-in/string-out, the reference's deployment
+    # artifact — ref: README.md:101-105) to this directory.
+    savedmodel_dirpath: Optional[str] = None
 
     # Observability (ref: tensorboard_logs_dir default "./logs").
     tensorboard_logs_dir: str = "logs"

@@ -1,0 +1,91 @@
+"""TF-Serving SavedModel export: the exported graph must reproduce the
+reference's serving contract ((None,1) string tensors in, (B,k) string
+ids out, ref: brute_force.py:108-114, abstract_keras_model.py:109-131)
+and agree exactly with the in-process RetrievalService."""
+
+import numpy as np
+import pytest
+
+tf = pytest.importorskip("tensorflow")
+
+from hm_retrieval_tpu.serving import RetrievalService  # noqa: E402
+from hm_retrieval_tpu.serving.savedmodel_export import (  # noqa: E402
+    export_index_savedmodel,
+)
+
+from tests.test_runners import pipeline  # noqa: F401, E402
+
+
+@pytest.fixture(scope="module")
+def exported(pipeline, tmp_path_factory):  # noqa: F811
+    settings, _, _ = pipeline
+    service = RetrievalService.load(
+        settings.schema_dirpath,
+        settings.model_dirpath,
+        settings.index_dirpath,
+    )
+    out = str(tmp_path_factory.mktemp("savedmodel"))
+    export_index_savedmodel(
+        service.schema, service.params, service.index, out
+    )
+    loaded = tf.saved_model.load(out)
+    return service, loaded.signatures["serving_default"]
+
+
+class TestSavedModelExport:
+    def test_matches_retrieval_service(self, exported):
+        service, serve = exported
+        cust = service.schema.feature("customer_id").vocab[:4]
+        want = service.retrieve({"customer_id": list(cust)})
+        got = serve(
+            customer_id=tf.constant(
+                np.asarray(cust, dtype=str).reshape(-1, 1)
+            )
+        )["candidate_ids"].numpy()
+        got = [[s.decode() for s in row] for row in got]
+        assert got == want
+
+    def test_oov_query_served(self, exported):
+        service, serve = exported
+        want = service.retrieve({"customer_id": ["never_seen"]})
+        got = serve(
+            customer_id=tf.constant([["never_seen"]])
+        )["candidate_ids"].numpy()
+        assert [[s.decode() for s in got[0]]] == want
+
+    def test_signature_shape_contract(self, exported):
+        service, serve = exported
+        out = serve(customer_id=tf.constant([["a"], ["b"], ["c"]]))
+        assert out["candidate_ids"].shape == (3, service.index.k)
+        assert out["candidate_ids"].dtype == tf.string
+
+    def test_sequence_features_rejected(self, exported, tmp_path):
+        service, _ = exported
+        from hm_retrieval_tpu.schema.features import (
+            Feature,
+            FeatureFamily,
+            FeatureKind,
+        )
+
+        seq = Feature(
+            "history",
+            FeatureKind.SEQUENCE,
+            FeatureFamily.QUERY,
+            embedding_size=4,
+            max_len=8,
+            vocab=np.array(["a"]),
+        )
+        schema = service.schema
+        object.__setattr__  # keep flake8 quiet about unused import style
+        orig = schema.features
+        try:
+            schema.features = list(orig) + [seq]
+            with pytest.raises(ValueError, match="sequence"):
+                export_index_savedmodel(
+                    schema,
+                    service.params,
+                    service.index,
+                    str(tmp_path / "sm"),
+                )
+        finally:
+            schema.features = orig
