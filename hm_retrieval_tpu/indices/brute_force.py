@@ -58,6 +58,7 @@ class BruteForceIndex:
         identifiers: np.ndarray,
         embeddings,
         method: str = "auto",
+        recall_target: float = 0.95,
     ):
         """``method``:
         - "full": one lax.top_k over (B, N)
@@ -65,10 +66,20 @@ class BruteForceIndex:
           (ops/exact_topk.py)
         - "pallas": streaming bin-max kernel (ops/pallas_retrieval.py,
           fastest exact path on TPU; TPU-only)
+        - "approx": hardware PartialReduce via lax.approx_max_k —
+          APPROXIMATE (the only non-exact method; per-row expected
+          recall >= ``recall_target``), ~5x faster than exact scoring
+          (BASELINE.md); a beyond-parity ANN knob, the reference is
+          exact-only (ref: brute_force.py:81)
         - "auto": pallas on TPU / partial_reduce elsewhere for catalogs
           over 16k rows, full otherwise."""
-        if method not in ("auto", "full", "partial_reduce", "pallas"):
+        if method not in (
+            "auto", "full", "partial_reduce", "pallas", "approx"
+        ):
             raise ValueError(f"unknown method {method!r}")
+        if not 0.0 < recall_target <= 1.0:
+            raise ValueError("recall_target must be in (0, 1]")
+        self.recall_target = float(recall_target)
         identifiers = np.asarray(identifiers)
         embeddings = np.asarray(embeddings, dtype=np.float32)
         if identifiers.ndim != 1 or embeddings.ndim != 2:
@@ -154,7 +165,8 @@ class BruteForceIndex:
     # ------------------------------------------------------------------
     @staticmethod
     @partial(
-        jax.jit, static_argnames=("k", "method", "n_real")
+        jax.jit,
+        static_argnames=("k", "method", "n_real", "recall_target"),
     )
     def _topk(
         query_embeddings,
@@ -164,6 +176,7 @@ class BruteForceIndex:
         k,
         method,
         n_real,
+        recall_target=0.95,
     ):
         if method == "pallas":
             from hm_retrieval_tpu.ops.pallas_retrieval import (
@@ -203,6 +216,10 @@ class BruteForceIndex:
             )
 
             top_scores, top_idx, _ = exact_topk_scores(scores, k)
+        elif method == "approx":
+            top_scores, top_idx = jax.lax.approx_max_k(
+                scores, k, recall_target=recall_target
+            )
         else:
             top_scores, top_idx = jax.lax.top_k(scores, k)
         return top_scores, jnp.take(identifiers, top_idx)
@@ -217,6 +234,7 @@ class BruteForceIndex:
             self.k,
             self.method,
             self.num_candidates,
+            self.recall_target,
         )
 
     def query(
@@ -246,7 +264,13 @@ class BruteForceIndex:
         )
         with open(os.path.join(dirpath, "meta.json"), "w") as f:
             json.dump(
-                {"k": self.k, "type": "brute_force"}, f
+                {
+                    "k": self.k,
+                    "type": "brute_force",
+                    "method": self.method,
+                    "recall_target": self.recall_target,
+                },
+                f,
             )
         logger.info("Saved brute-force index to %s", dirpath)
 
@@ -254,5 +278,17 @@ class BruteForceIndex:
     def load(cls, dirpath: str) -> "BruteForceIndex":
         with open(os.path.join(dirpath, "meta.json")) as f:
             meta = json.load(f)
+        # Exact methods are semantically identical and hardware-tuned,
+        # so they re-resolve via "auto" for the load-time backend; only
+        # "approx" changes results and must survive a reload.
+        method = meta.get("method", "auto")
+        if method != "approx":
+            method = "auto"
         with np.load(os.path.join(dirpath, "index.npz")) as z:
-            return cls(meta["k"], z["identifiers"], z["embeddings"])
+            return cls(
+                meta["k"],
+                z["identifiers"],
+                z["embeddings"],
+                method=method,
+                recall_target=meta.get("recall_target", 0.95),
+            )

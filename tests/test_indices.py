@@ -102,6 +102,49 @@ class TestBruteForceIndex:
             == np.sort(np.asarray(i2), axis=1)
         ).all()
 
+    def test_approx_method_high_overlap(self, rng):
+        # lax.approx_max_k with recall_target=1.0 must recover the exact
+        # set; lower targets trade recall for speed (ANN knob — no
+        # reference analog, ref is exact-only, brute_force.py:81).
+        N, E, B, k = 3000, 16, 8, 12
+        emb = rng.normal(size=(N, E)).astype(np.float32)
+        ids = np.arange(1, N + 1, dtype=np.int32)
+        q = rng.normal(size=(B, E)).astype(np.float32)
+        full = BruteForceIndex(k, ids, emb, method="full")
+        approx = BruteForceIndex(
+            k, ids, emb, method="approx", recall_target=1.0
+        )
+        _, i1 = full.topk_from_embeddings(jnp.asarray(q))
+        _, i2 = approx.topk_from_embeddings(jnp.asarray(q))
+        assert (
+            np.sort(np.asarray(i1), axis=1)
+            == np.sort(np.asarray(i2), axis=1)
+        ).all()
+
+    def test_approx_method_survives_reload(self, tmp_path, rng):
+        N, E = 2000, 8
+        emb = rng.normal(size=(N, E)).astype(np.float32)
+        ids = np.arange(1, N + 1, dtype=np.int32)
+        idx = BruteForceIndex(
+            5, ids, emb, method="approx", recall_target=0.9
+        )
+        idx.save(str(tmp_path / "approx_idx"))
+        loaded = BruteForceIndex.load(str(tmp_path / "approx_idx"))
+        assert loaded.method == "approx"
+        assert loaded.recall_target == 0.9
+        # exact methods re-resolve per-backend on load
+        exact = BruteForceIndex(5, ids, emb, method="full")
+        exact.save(str(tmp_path / "exact_idx"))
+        assert BruteForceIndex.load(
+            str(tmp_path / "exact_idx")
+        ).method in ("full", "partial_reduce", "pallas")
+
+    def test_bad_recall_target_rejected(self):
+        with pytest.raises(ValueError, match="recall_target"):
+            BruteForceIndex(
+                1, self.cand_ids, self.cand_emb, recall_target=0.0
+            )
+
     def test_unknown_method_rejected(self):
         with pytest.raises(ValueError, match="method"):
             BruteForceIndex(
