@@ -59,6 +59,87 @@ class TestSavedModelExport:
         assert out["candidate_ids"].shape == (3, service.index.k)
         assert out["candidate_ids"].dtype == tf.string
 
+    def test_numeric_feature_standardization(self, tmp_path):
+        # Hand-built schema with a standardized numeric query feature:
+        # the TF edge must reproduce Feature.transform_numeric,
+        # including NaN -> 0 (at-the-mean) handling.
+        import jax
+
+        from hm_retrieval_tpu.indices.brute_force import (
+            BruteForceIndex,
+        )
+        from hm_retrieval_tpu.models.tower import init_tower_params
+        from hm_retrieval_tpu.schema import (
+            Feature,
+            FeatureFamily,
+            FeatureKind,
+            ModelConfig,
+            Schema,
+            TrainingConfig,
+        )
+        from hm_retrieval_tpu.serving.service import RetrievalService
+
+        rng = np.random.default_rng(0)
+        feats = [
+            Feature(
+                "customer_id",
+                FeatureKind.CATEGORICAL,
+                FeatureFamily.QUERY,
+                embedding_size=8,
+                vocab=np.array([f"c{i}" for i in range(20)]),
+            ),
+            Feature(
+                "age",
+                FeatureKind.NUMERIC,
+                FeatureFamily.QUERY,
+                standardize=True,
+                mean=40.0,
+                std=12.0,
+            ),
+            Feature(
+                "article_id",
+                FeatureKind.CATEGORICAL,
+                FeatureFamily.CANDIDATE,
+                embedding_size=8,
+                vocab=np.array([f"a{i}" for i in range(30)]),
+            ),
+        ]
+        schema = Schema(
+            features=feats,
+            model_config=ModelConfig(
+                joint_embedding_size=8, ks=[5]
+            ),
+            training_config=TrainingConfig(),
+            candidate_id_col="article_id",
+        )
+        params = init_tower_params(
+            jax.random.PRNGKey(0), schema.query_features, 8
+        )
+        index = BruteForceIndex(
+            5,
+            np.arange(1, 31, dtype=np.int32),
+            rng.normal(size=(30, 8)).astype(np.float32),
+        )
+        service = RetrievalService(schema, params, index)
+        out = str(tmp_path / "sm_numeric")
+        export_index_savedmodel(schema, params, index, out)
+        serve = tf.saved_model.load(out).signatures[
+            "serving_default"
+        ]
+
+        raw = {
+            "customer_id": ["c1", "c5", "never"],
+            "age": [25.0, float("nan"), 63.0],
+        }
+        want = service.retrieve(raw)
+        got = serve(
+            customer_id=tf.constant(
+                [[v] for v in raw["customer_id"]]
+            ),
+            age=tf.constant([[v] for v in raw["age"]]),
+        )["candidate_ids"].numpy()
+        assert [[s.decode() for s in row] for row in got] == want
+
     def test_sequence_features_rejected(self, exported, tmp_path):
         service, _ = exported
         from hm_retrieval_tpu.schema.features import (
