@@ -46,6 +46,12 @@ def main():
         help="resume training from the latest checkpoint",
     )
     ap.add_argument(
+        "--export-savedmodel",
+        action="store_true",
+        help="also export the TF-Serving SavedModel deployment "
+        "artifact (the reference's serving format)",
+    )
+    ap.add_argument(
         "--mesh-data",
         type=int,
         default=None,
@@ -121,6 +127,11 @@ def main():
         baseline_index_dirpath=f"{d}/artifacts/baseline_index",
         checkpoint_dirpath=f"{d}/artifacts/checkpoints",
         tensorboard_logs_dir=f"{d}/logs",
+        savedmodel_dirpath=(
+            f"{d}/artifacts/savedmodel"
+            if args.export_savedmodel
+            else None
+        ),
     )
 
     # Feature set per ref main.py:32-111 (the duplicate product_type_name
