@@ -13,6 +13,8 @@ Method notes (tunnel-aware):
 - all timing loops run ON DEVICE via lax.scan with data generated/varied on
   device, then one host sync — host<->device latency through the axon relay
   is ~150ms and would otherwise dominate;
+- training batches are pre-generated on device OUTSIDE the timed scan
+  (threefry id synthesis is input-pipeline work, not train-step work);
 - identical repeated dispatches can be served from a cache by the remote
   runtime, so every iteration varies its inputs.
 

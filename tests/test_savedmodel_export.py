@@ -157,7 +157,6 @@ class TestSavedModelExport:
             vocab=np.array(["a"]),
         )
         schema = service.schema
-        object.__setattr__  # keep flake8 quiet about unused import style
         orig = schema.features
         try:
             schema.features = list(orig) + [seq]
