@@ -202,6 +202,21 @@ class BruteForceIndex:
             # no feasible (k, B) kernel config: fall through to the XLA
             # PartialReduce path below
             method = "partial_reduce"
+        if method == "approx":
+            # Score only the real rows (n_real is static): -inf pad rows
+            # would occupy PartialReduce bins and silently lower the
+            # effective recall below recall_target on pad-heavy catalogs.
+            scores = jnp.dot(
+                query_embeddings,
+                embeddings[:n_real].T,
+                preferred_element_type=jnp.float32,
+            )
+            top_scores, top_idx = jax.lax.approx_max_k(
+                scores, k, recall_target=recall_target
+            )
+            return top_scores, jnp.take(
+                identifiers[:n_real], top_idx
+            )
         scores = (
             jnp.dot(
                 query_embeddings,
@@ -216,10 +231,6 @@ class BruteForceIndex:
             )
 
             top_scores, top_idx, _ = exact_topk_scores(scores, k)
-        elif method == "approx":
-            top_scores, top_idx = jax.lax.approx_max_k(
-                scores, k, recall_target=recall_target
-            )
         else:
             top_scores, top_idx = jax.lax.top_k(scores, k)
         return top_scores, jnp.take(identifiers, top_idx)
@@ -278,12 +289,20 @@ class BruteForceIndex:
     def load(cls, dirpath: str) -> "BruteForceIndex":
         with open(os.path.join(dirpath, "meta.json")) as f:
             meta = json.load(f)
-        # Exact methods are semantically identical and hardware-tuned,
-        # so they re-resolve via "auto" for the load-time backend; only
-        # "approx" changes results and must survive a reload.
+        # Honor the saved method so reload preserves result order even
+        # for tied scores (exact methods may break ties differently);
+        # remap only when the saved method cannot run on this backend
+        # (the Pallas kernel is TPU-only).
         method = meta.get("method", "auto")
-        if method != "approx":
-            method = "auto"
+        if method == "pallas" and jax.default_backend() != "tpu":
+            logger.warning(
+                "Index at %s was saved with method='pallas' but the "
+                "current backend is %s; using 'partial_reduce' (exact, "
+                "but tied scores may order differently)",
+                dirpath,
+                jax.default_backend(),
+            )
+            method = "partial_reduce"
         with np.load(os.path.join(dirpath, "index.npz")) as z:
             return cls(
                 meta["k"],

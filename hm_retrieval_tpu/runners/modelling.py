@@ -237,6 +237,15 @@ def modelling_runner(
     tc = schema.training_config
     mc = schema.model_config
 
+    if settings.savedmodel_dirpath:
+        # fail fast BEFORE training: an unexportable schema must not
+        # surface as a post-training crash that loses the run's results
+        from hm_retrieval_tpu.serving.savedmodel_export import (
+            validate_exportable_schema,
+        )
+
+        validate_exportable_schema(schema)
+
     train_ds = ShardDataset(settings.train_shards_dirpath)
     test_ds = ShardDataset(settings.test_shards_dirpath)
     cand_ds = ShardDataset(settings.candidate_shards_dirpath)
@@ -347,43 +356,110 @@ def modelling_runner(
         step_fn = None  # built below
 
     ckpt = CheckpointManager(settings.checkpoint_dirpath)
-    if resume and ckpt.latest_step() is not None:
-        state = ckpt.restore(state)
-
     writer = MetricWriter(settings.tensorboard_logs_dir)
     profiler = StepProfiler(
         settings.tensorboard_logs_dir, settings.profile_steps
     )
-    if step_fn is not None:
-        pass
-    elif mesh is not None:
-        from hm_retrieval_tpu.parallel.data_parallel import (
-            make_dp_train_step,
-        )
+    try:
+        if resume and ckpt.latest_step() is not None:
+            state = ckpt.restore(state)
 
-        step_fn = make_dp_train_step(
-            model,
-            optimizer,
-            mesh,
-            catalog=catalog,
-            num_uniform_negatives=tc.num_uniform_negatives,
-            base_seed=tc.seed,
-        )
-    else:
-        step_fn = make_train_step(
-            model,
-            optimizer,
-            catalog=catalog,
-            num_uniform_negatives=tc.num_uniform_negatives,
-            base_seed=tc.seed,
-        )
-    index_k = max(mc.ks)
+        if step_fn is not None:
+            pass
+        elif mesh is not None:
+            from hm_retrieval_tpu.parallel.data_parallel import (
+                make_dp_train_step,
+            )
 
-    results: Dict[str, Dict[int, float]] = {}
-    global_step = int(state.step)
-    t_train, examples = 0.0, 0
-    for epoch in range(tc.epochs):
-        # --- eval at epoch start (ref: runner.py:85-101) ---
+            step_fn = make_dp_train_step(
+                model,
+                optimizer,
+                mesh,
+                catalog=catalog,
+                num_uniform_negatives=tc.num_uniform_negatives,
+                base_seed=tc.seed,
+            )
+        else:
+            step_fn = make_train_step(
+                model,
+                optimizer,
+                catalog=catalog,
+                num_uniform_negatives=tc.num_uniform_negatives,
+                base_seed=tc.seed,
+            )
+        index_k = max(mc.ks)
+
+        results: Dict[str, Dict[int, float]] = {}
+        global_step = int(state.step)
+        t_train, examples = 0.0, 0
+        for epoch in range(tc.epochs):
+            # --- eval at epoch start (ref: runner.py:85-101) ---
+            index = build_index(
+                model,
+                state.params,
+                cand_ds,
+                tc.candidate_batch_size,
+                min(index_k, cand_ds.num_rows),
+            )
+            res = evaluate(
+                model,
+                state.params,
+                index,
+                test_ds,
+                tc.test_batch_size,
+                mc.ks,
+                epoch=epoch,
+                writer=writer,
+                mesh=mesh,
+            )
+            if epoch == 0:
+                results["initial"] = res
+
+            # --- train one epoch (ref: runner.py:103) ---
+            t0 = time.time()
+            batches = train_ds.iter_batches(
+                tc.train_batch_size,
+                shuffle_buffer_size=tc.shuffle_buffer_size,
+                seed=tc.seed + epoch,
+                drop_remainder=True,
+            )
+            for dev_batch in device_feed(batches, mesh=mesh):
+                state, metrics = step_fn(state, dev_batch)
+                global_step += 1
+                profiler.on_step(global_step)
+                if global_step % 100 == 0:
+                    loss = float(metrics["loss"])
+                    writer.add_scalar("train/loss", loss, global_step)
+                    logger.info(
+                        "step %d | loss %.4f", global_step, loss
+                    )
+                examples += tc.train_batch_size
+            jax.block_until_ready(state.params)
+            t_train += time.time() - t0
+
+            ckpt.save(global_step, state)
+            export_params = state.params
+            if sharded_feats:
+                # exports keep the unsharded contract: tables sliced
+                # back to their true vocab row counts
+                from hm_retrieval_tpu.parallel.sharded_sparse_training import (  # noqa: E501
+                    unpad_params,
+                )
+
+                export_params = unpad_params(state.params, model)
+            export_model(export_params, settings.model_dirpath)
+            # weight histograms per epoch (ref: histogram_freq=1)
+            writer.add_params_histograms(export_params, epoch + 1)
+
+        profiler.close()
+        if t_train > 0:
+            logger.info(
+                "Training throughput: %.0f examples/s",
+                examples / t_train,
+            )
+
+        # --- final eval after training (fixes ref: runner.py:107
+        # quirk) ---
         index = build_index(
             model,
             state.params,
@@ -391,101 +467,40 @@ def modelling_runner(
             tc.candidate_batch_size,
             min(index_k, cand_ds.num_rows),
         )
-        res = evaluate(
+        results["final"] = evaluate(
             model,
             state.params,
             index,
             test_ds,
             tc.test_batch_size,
             mc.ks,
-            epoch=epoch,
+            epoch=tc.epochs,
             writer=writer,
             mesh=mesh,
         )
-        if epoch == 0:
-            results["initial"] = res
+        index.save(settings.index_dirpath)
+        if settings.savedmodel_dirpath:
+            from hm_retrieval_tpu.serving.savedmodel_export import (
+                export_index_savedmodel,
+            )
 
-        # --- train one epoch (ref: runner.py:103) ---
-        t0 = time.time()
-        batches = train_ds.iter_batches(
-            tc.train_batch_size,
-            shuffle_buffer_size=tc.shuffle_buffer_size,
-            seed=tc.seed + epoch,
-            drop_remainder=True,
-        )
-        for dev_batch in device_feed(batches, mesh=mesh):
-            state, metrics = step_fn(state, dev_batch)
-            global_step += 1
-            profiler.on_step(global_step)
-            if global_step % 100 == 0:
-                loss = float(metrics["loss"])
-                writer.add_scalar("train/loss", loss, global_step)
-                logger.info(
-                    "step %d | loss %.4f", global_step, loss
+            final_params = state.params
+            if sharded_feats:
+                from hm_retrieval_tpu.parallel.sharded_sparse_training import (  # noqa: E501
+                    unpad_params,
                 )
-            examples += tc.train_batch_size
-        jax.block_until_ready(state.params)
-        t_train += time.time() - t0
 
-        ckpt.save(global_step, state)
-        export_params = state.params
-        if sharded_feats:
-            # exports keep the unsharded contract: tables sliced back
-            # to their true vocab row counts
-            from hm_retrieval_tpu.parallel.sharded_sparse_training import (  # noqa: E501
-                unpad_params,
+                final_params = unpad_params(state.params, model)
+            export_index_savedmodel(
+                schema,
+                final_params["query_tower"],
+                index,
+                settings.savedmodel_dirpath,
             )
-
-            export_params = unpad_params(state.params, model)
-        export_model(export_params, settings.model_dirpath)
-        # weight histograms per epoch (ref: histogram_freq=1)
-        writer.add_params_histograms(export_params, epoch + 1)
-
-    profiler.close()
-    if t_train > 0:
-        logger.info(
-            "Training throughput: %.0f examples/s",
-            examples / t_train,
-        )
-
-    # --- final eval after training (fixes ref: runner.py:107 quirk) ---
-    index = build_index(
-        model,
-        state.params,
-        cand_ds,
-        tc.candidate_batch_size,
-        min(index_k, cand_ds.num_rows),
-    )
-    results["final"] = evaluate(
-        model,
-        state.params,
-        index,
-        test_ds,
-        tc.test_batch_size,
-        mc.ks,
-        epoch=tc.epochs,
-        writer=writer,
-        mesh=mesh,
-    )
-    index.save(settings.index_dirpath)
-    if settings.savedmodel_dirpath:
-        from hm_retrieval_tpu.serving.savedmodel_export import (
-            export_index_savedmodel,
-        )
-
-        final_params = state.params
-        if sharded_feats:
-            from hm_retrieval_tpu.parallel.sharded_sparse_training import (  # noqa: E501
-                unpad_params,
-            )
-
-            final_params = unpad_params(state.params, model)
-        export_index_savedmodel(
-            schema,
-            final_params["query_tower"],
-            index,
-            settings.savedmodel_dirpath,
-        )
-    ckpt.close()
-    writer.close()
-    return results
+        return results
+    finally:
+        # close on every exit path so a mid-run failure (e.g. a late
+        # export error) cannot lose buffered metrics or wedge orbax
+        profiler.close()
+        ckpt.close()
+        writer.close()

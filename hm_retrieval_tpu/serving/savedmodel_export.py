@@ -49,6 +49,24 @@ logger = logging.getLogger(__name__)
 OOV_TOKEN = "<OOV>"
 
 
+def validate_exportable_schema(schema: Schema) -> None:
+    """Raise if the schema cannot be exported as a SavedModel.
+
+    Pure host-side check (no TF import) so runners can fail fast BEFORE
+    training instead of crashing at export time after all epochs ran.
+    Only CATEGORICAL and NUMERIC query features are exportable (the
+    reference supports exactly tf.string / tf.float32,
+    ref: pkg/schema/features.py:43).
+    """
+    for f in schema.query_features:
+        if f.kind == FeatureKind.SEQUENCE:
+            raise ValueError(
+                "SavedModel export supports categorical/numeric query "
+                f"features only; {f.name!r} is a sequence feature "
+                "(serve it via serving.RetrievalService)"
+            )
+
+
 def export_index_savedmodel(
     schema: Schema,
     query_tower_params,
@@ -64,14 +82,8 @@ def export_index_savedmodel(
     import tensorflow as tf
     from jax.experimental import jax2tf
 
+    validate_exportable_schema(schema)
     query_features = schema.query_features
-    for f in query_features:
-        if f.kind == FeatureKind.SEQUENCE:
-            raise ValueError(
-                "SavedModel export supports categorical/numeric query "
-                f"features only; {f.name!r} is a sequence feature "
-                "(serve it via serving.RetrievalService)"
-            )
 
     # ---- device-side function (traced once by jax2tf) ----------------
     # Closure-free: all weights arrive as explicit leaves so they become
@@ -177,10 +189,12 @@ def export_index_savedmodel(
             else:
                 mean, std = numeric_stats[f.name]
                 x = (x - mean) / std
-                # NaN -> 0 after standardization (Feature.
-                # transform_numeric: missing reads as 'at the mean')
-                int_batch[f.name] = tf.where(
-                    tf.math.is_nan(x), tf.zeros_like(x), x
+                # Mirror Feature.transform_numeric's np.nan_to_num:
+                # NaN -> 0 after standardization (missing reads as 'at
+                # the mean'), +/-inf squashed to the float32 extremes.
+                x = tf.where(tf.math.is_nan(x), tf.zeros_like(x), x)
+                int_batch[f.name] = tf.clip_by_value(
+                    x, tf.float32.min, tf.float32.max
                 )
         params = jax.tree.unflatten(
             params_treedef, list(module._variables)
@@ -188,8 +202,17 @@ def export_index_savedmodel(
         top_ids = tf_fn(
             params, module._emb, module._bias, module._ids, int_batch
         )
+        # Mirror Feature.decode: ids outside [0, len(vocab)] decode to
+        # '<OOV>' instead of aborting the gather at serve time (an index
+        # built from ids not encoded with this schema must not crash).
+        safe_ids = tf.where(
+            (top_ids >= 0)
+            & (top_ids < tf.size(module._decode, out_type=top_ids.dtype)),
+            top_ids,
+            tf.zeros_like(top_ids),
+        )
         return {
-            "candidate_ids": tf.gather(module._decode, top_ids)
+            "candidate_ids": tf.gather(module._decode, safe_ids)
         }
 
     module.serve = tf.function(serve, input_signature=input_signature)

@@ -132,12 +132,13 @@ class TestBruteForceIndex:
         loaded = BruteForceIndex.load(str(tmp_path / "approx_idx"))
         assert loaded.method == "approx"
         assert loaded.recall_target == 0.9
-        # exact methods re-resolve per-backend on load
+        # exact methods are persisted verbatim too (tied-score order
+        # must survive a reload); only backend-unavailable methods remap
         exact = BruteForceIndex(5, ids, emb, method="full")
         exact.save(str(tmp_path / "exact_idx"))
         assert BruteForceIndex.load(
             str(tmp_path / "exact_idx")
-        ).method in ("full", "partial_reduce", "pallas")
+        ).method == "full"
 
     def test_bad_recall_target_rejected(self):
         with pytest.raises(ValueError, match="recall_target"):

@@ -252,3 +252,115 @@ class TestMixedNegativesNoLogq:
         lse = np.log(np.exp(logits).sum(axis=1))
         manual = float(np.sum(lse - np.diag(q @ c_in.T)))
         np.testing.assert_allclose(float(loss), manual, rtol=1e-5)
+
+
+class TestAdviceRound1Fixes:
+    """Regression tests for the round-1 advisor findings (ADVICE.md)."""
+
+    def test_approx_scores_only_real_rows(self, rng):
+        # ADVICE: the approx path ran lax.approx_max_k over the padded
+        # score axis, letting -inf pad rows occupy PartialReduce bins so
+        # effective recall dropped below recall_target on pad-heavy
+        # catalogs. Now the real-row slice is scored (n_real is static).
+        from hm_retrieval_tpu.indices.brute_force import BruteForceIndex
+
+        N, E, B, k = 1050, 16, 64, 50  # pads to 2048: ~half pad rows
+        emb = rng.normal(size=(N, E)).astype(np.float32)
+        ids = np.arange(1, N + 1, dtype=np.int32)
+        q = rng.normal(size=(B, E)).astype(np.float32)
+        exact = BruteForceIndex(k, ids, emb, method="full")
+        approx = BruteForceIndex(
+            k, ids, emb, method="approx", recall_target=0.95
+        )
+        _, i_exact = exact.topk_from_embeddings(jnp.asarray(q))
+        _, i_approx = approx.topk_from_embeddings(jnp.asarray(q))
+        i_exact, i_approx = np.asarray(i_exact), np.asarray(i_approx)
+        # pad rows (id 0) must never be returned
+        assert (i_approx >= 1).all() and (i_approx <= N).all()
+        # aggregate recall must meet the target now that bins are not
+        # wasted on pad rows (deterministic given the fixed seed)
+        hits = sum(
+            len(set(a) & set(b)) for a, b in zip(i_exact, i_approx)
+        )
+        assert hits / (B * k) >= 0.95
+
+    def test_exact_method_survives_reload(self, tmp_path, rng):
+        # ADVICE: load() silently remapped explicitly saved exact
+        # methods to "auto", which can reorder tied candidates. The
+        # saved method is now honored (pallas remaps only off-TPU).
+        from hm_retrieval_tpu.indices.brute_force import BruteForceIndex
+
+        emb = rng.normal(size=(2000, 8)).astype(np.float32)
+        ids = np.arange(1, 2001, dtype=np.int32)
+        for method in ("full", "partial_reduce"):
+            idx = BruteForceIndex(5, ids, emb, method=method)
+            idx.save(str(tmp_path / method))
+            loaded = BruteForceIndex.load(str(tmp_path / method))
+            assert loaded.method == method
+
+    def test_pallas_method_falls_back_off_tpu(self, tmp_path, rng):
+        import json
+        import os
+
+        from hm_retrieval_tpu.indices.brute_force import BruteForceIndex
+
+        emb = rng.normal(size=(100, 8)).astype(np.float32)
+        ids = np.arange(1, 101, dtype=np.int32)
+        idx = BruteForceIndex(5, ids, emb, method="full")
+        d = str(tmp_path / "pallas_idx")
+        idx.save(d)
+        meta_path = os.path.join(d, "meta.json")
+        with open(meta_path) as f:
+            meta = json.load(f)
+        meta["method"] = "pallas"
+        with open(meta_path, "w") as f:
+            json.dump(meta, f)
+        loaded = BruteForceIndex.load(d)  # CPU backend in tests
+        assert loaded.method == "partial_reduce"
+
+    def test_runner_fails_fast_on_unexportable_schema(self, tmp_path):
+        # ADVICE (medium): with savedmodel_dirpath set and a SEQUENCE
+        # query feature, the runner used to train all epochs and then
+        # crash at export time, losing the results. It must now raise
+        # BEFORE any dataset/train work.
+        import dataclasses
+
+        from hm_retrieval_tpu.runners import modelling_runner
+        from hm_retrieval_tpu.schema import (
+            ModelConfig,
+            Schema,
+            TrainingConfig,
+        )
+        from tests.test_etl import make_settings
+
+        schema = Schema(
+            features=[
+                Feature(
+                    "purchase_history",
+                    FeatureKind.SEQUENCE,
+                    FeatureFamily.QUERY,
+                    embedding_size=4,
+                    max_len=4,
+                    vocab=np.array(["a1", "a2"]),
+                ),
+                Feature(
+                    "article_id",
+                    FeatureKind.CATEGORICAL,
+                    FeatureFamily.CANDIDATE,
+                    embedding_size=4,
+                    vocab=np.array(["a1", "a2"]),
+                ),
+            ],
+            model_config=ModelConfig(joint_embedding_size=4, ks=[1]),
+            training_config=TrainingConfig(),
+            candidate_id_col="article_id",
+        )
+        settings = dataclasses.replace(
+            make_settings(tmp_path),
+            savedmodel_dirpath=str(tmp_path / "savedmodel"),
+        )
+        schema.save(settings.schema_dirpath)
+        # note: no shards were written — the validation must trip
+        # before the runner ever opens a dataset
+        with pytest.raises(ValueError, match="sequence"):
+            modelling_runner(settings)

@@ -128,8 +128,16 @@ class TestSavedModelExport:
         ]
 
         raw = {
-            "customer_id": ["c1", "c5", "never"],
-            "age": [25.0, float("nan"), 63.0],
+            "customer_id": ["c1", "c5", "never", "c2", "c3"],
+            "age": [
+                25.0,
+                float("nan"),
+                63.0,
+                # ADVICE: +/-inf must match np.nan_to_num's squash to
+                # the float32 extremes, not flow through as inf
+                float("inf"),
+                float("-inf"),
+            ],
         }
         want = service.retrieve(raw)
         got = serve(
@@ -139,6 +147,53 @@ class TestSavedModelExport:
             age=tf.constant([[v] for v in raw["age"]]),
         )["candidate_ids"].numpy()
         assert [[s.decode() for s in row] for row in got] == want
+
+    def test_out_of_range_ids_decode_to_oov(self, pipeline, tmp_path):  # noqa: F811, E501
+        # ADVICE: an index built from ids not encoded with this schema
+        # (identifier > len(vocab)) must decode to '<OOV>' at serve
+        # time, mirroring Feature.decode, instead of aborting the
+        # SavedModel's gather.
+        import numpy as np
+
+        from hm_retrieval_tpu.indices.brute_force import (
+            BruteForceIndex,
+        )
+        from hm_retrieval_tpu.serving import RetrievalService
+
+        settings, _, _ = pipeline
+        service = RetrievalService.load(
+            settings.schema_dirpath,
+            settings.model_dirpath,
+            settings.index_dirpath,
+        )
+        vocab_len = len(
+            service.schema.candidate_id_feature.vocab
+        )
+        n = service.index.num_candidates
+        rogue_ids = np.arange(
+            vocab_len + 1, vocab_len + 1 + n, dtype=np.int32
+        )
+        rogue = BruteForceIndex(
+            service.index.k,
+            rogue_ids,
+            np.asarray(service.index.embeddings)[:n],
+        )
+        out = str(tmp_path / "sm_rogue")
+        export_index_savedmodel(
+            service.schema, service.params, rogue, out
+        )
+        serve = tf.saved_model.load(out).signatures[
+            "serving_default"
+        ]
+        cust = service.schema.feature("customer_id").vocab[:2]
+        got = serve(
+            customer_id=tf.constant(
+                np.asarray(cust, dtype=str).reshape(-1, 1)
+            )
+        )["candidate_ids"].numpy()
+        assert all(
+            s.decode() == "<OOV>" for row in got for s in row
+        )
 
     def test_sequence_features_rejected(self, exported, tmp_path):
         service, _ = exported
