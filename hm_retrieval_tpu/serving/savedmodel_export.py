@@ -24,10 +24,17 @@ The exported graph uses the portable XLA top-k path (not the Pallas TPU
 kernel) so the SavedModel runs on stock TF-Serving CPU/GPU images; the
 Pallas path remains the on-TPU serving fast path via RetrievalService.
 
-Only CATEGORICAL and NUMERIC query features are supported (the reference
-supports exactly tf.string / tf.float32, ref: pkg/schema/features.py:43);
-SEQUENCE features are a framework extension with no TF-Serving contract
-and raise.
+Feature kinds and their serving tensors (the reference supports exactly
+tf.string / tf.float32 scalars, ref: pkg/schema/features.py:43; SEQUENCE
+is this framework's extension):
+
+    CATEGORICAL  (None, 1) tf.string        -> hash-table id lookup
+    NUMERIC      (None, 1) tf.float32       -> standardize + nan_to_num
+    SEQUENCE     (None, max_len) tf.string  -> per-token id lookup;
+                 right-pad short histories with "" (never in a vocab, so
+                 it encodes to 0 = pad/OOV, which pooling masks out —
+                 the same contract as Feature.encode_sequence). Clients
+                 must pre-truncate to the LAST max_len tokens.
 """
 
 from __future__ import annotations
@@ -54,16 +61,23 @@ def validate_exportable_schema(schema: Schema) -> None:
 
     Pure host-side check (no TF import) so runners can fail fast BEFORE
     training instead of crashing at export time after all epochs ran.
-    Only CATEGORICAL and NUMERIC query features are exportable (the
-    reference supports exactly tf.string / tf.float32,
-    ref: pkg/schema/features.py:43).
     """
-    for f in schema.query_features:
-        if f.kind == FeatureKind.SEQUENCE:
+    for f in list(schema.query_features) + [
+        schema.candidate_id_feature
+    ]:
+        if f.kind in (
+            FeatureKind.CATEGORICAL,
+            FeatureKind.SEQUENCE,
+        ):
+            if f.vocab is None:
+                raise ValueError(
+                    f"SavedModel export: feature {f.name!r} has no "
+                    "built vocab (run build_schema_runner first)"
+                )
+        elif f.standardize and (f.mean is None or f.std is None):
             raise ValueError(
-                "SavedModel export supports categorical/numeric query "
-                f"features only; {f.name!r} is a sequence feature "
-                "(serve it via serving.RetrievalService)"
+                f"SavedModel export: numeric feature {f.name!r} is "
+                "standardized but its train statistics are not built"
             )
 
 
@@ -107,13 +121,21 @@ def export_index_savedmodel(
         with_gradient=False,
         native_serialization_platforms=tuple(platforms),
         # dynamic batch dimension "b" on every feature input; weights
-        # (params/emb/bias/ids) are static
+        # (params/emb/bias/ids) are static; sequence windows are static
+        # max_len columns
         polymorphic_shapes=[
             None,
             None,
             None,
             None,
-            {f.name: "(b,)" for f in query_features},
+            {
+                f.name: (
+                    f"(b, {f.max_len})"
+                    if f.kind == FeatureKind.SEQUENCE
+                    else "(b,)"
+                )
+                for f in query_features
+            },
         ],
     )
 
@@ -129,11 +151,15 @@ def export_index_savedmodel(
     module._bias = tf.Variable(bias, trainable=False)
     module._ids = tf.Variable(ids, trainable=False)
 
-    # String-edge lookup tables (one per categorical feature), exactly
-    # the encode contract of Feature.encode: vocab[i] -> i+1, OOV -> 0.
+    # String-edge lookup tables (one per categorical/sequence feature),
+    # exactly the encode contract of Feature.encode: vocab[i] -> i+1,
+    # OOV -> 0 (sequence pads "" are OOV too, masked by pooling).
     tables = {}
     for f in query_features:
-        if f.kind == FeatureKind.CATEGORICAL:
+        if f.kind in (
+            FeatureKind.CATEGORICAL,
+            FeatureKind.SEQUENCE,
+        ):
             vocab = np.asarray(f.vocab, dtype=str)
             tables[f.name] = tf.lookup.StaticHashTable(
                 tf.lookup.KeyValueTensorInitializer(
@@ -164,15 +190,20 @@ def export_index_savedmodel(
     }
 
     # The reference serving signature: dict of (None, 1) tensors
-    # (ref: abstract_keras_model.py:30-44).
+    # (ref: abstract_keras_model.py:30-44); sequence features widen to
+    # (None, max_len).
     input_signature = [
         {
             f.name: tf.TensorSpec(
-                shape=(None, 1),
+                shape=(
+                    (None, f.max_len)
+                    if f.kind == FeatureKind.SEQUENCE
+                    else (None, 1)
+                ),
                 dtype=(
-                    tf.string
-                    if f.kind == FeatureKind.CATEGORICAL
-                    else tf.float32
+                    tf.float32
+                    if f.kind == FeatureKind.NUMERIC
+                    else tf.string
                 ),
                 name=f.name,
             )
@@ -183,6 +214,14 @@ def export_index_savedmodel(
     def serve(raw):
         int_batch = {}
         for f in query_features:
+            if f.kind == FeatureKind.SEQUENCE:
+                # per-token lookup over the (b, max_len) window; ""
+                # pads hit the default value 0 (pad/OOV, masked by
+                # the pooling in tower_forward)
+                int_batch[f.name] = module._tables[f.name].lookup(
+                    raw[f.name]
+                )
+                continue
             x = tf.squeeze(raw[f.name], axis=1)
             if f.kind == FeatureKind.CATEGORICAL:
                 int_batch[f.name] = module._tables[f.name].lookup(x)

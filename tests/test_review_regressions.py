@@ -319,10 +319,10 @@ class TestAdviceRound1Fixes:
         assert loaded.method == "partial_reduce"
 
     def test_runner_fails_fast_on_unexportable_schema(self, tmp_path):
-        # ADVICE (medium): with savedmodel_dirpath set and a SEQUENCE
-        # query feature, the runner used to train all epochs and then
-        # crash at export time, losing the results. It must now raise
-        # BEFORE any dataset/train work.
+        # ADVICE (medium): with savedmodel_dirpath set and an
+        # unexportable schema, the runner used to train all epochs and
+        # then crash at export time, losing the results. It must now
+        # raise BEFORE any dataset/train work.
         import dataclasses
 
         from hm_retrieval_tpu.runners import modelling_runner
@@ -336,19 +336,17 @@ class TestAdviceRound1Fixes:
         schema = Schema(
             features=[
                 Feature(
-                    "purchase_history",
-                    FeatureKind.SEQUENCE,
+                    "customer_id",
+                    FeatureKind.CATEGORICAL,
                     FeatureFamily.QUERY,
                     embedding_size=4,
-                    max_len=4,
-                    vocab=np.array(["a1", "a2"]),
+                    # vocab never built: unexportable
                 ),
                 Feature(
                     "article_id",
                     FeatureKind.CATEGORICAL,
                     FeatureFamily.CANDIDATE,
                     embedding_size=4,
-                    vocab=np.array(["a1", "a2"]),
                 ),
             ],
             model_config=ModelConfig(joint_embedding_size=4, ks=[1]),
@@ -361,6 +359,7 @@ class TestAdviceRound1Fixes:
         )
         schema.save(settings.schema_dirpath)
         # note: no shards were written — the validation must trip
-        # before the runner ever opens a dataset
-        with pytest.raises(ValueError, match="sequence"):
+        # before the runner ever opens a dataset (a later failure
+        # would surface as FileNotFoundError, not this ValueError)
+        with pytest.raises(ValueError, match="vocab"):
             modelling_runner(settings)

@@ -195,32 +195,95 @@ class TestSavedModelExport:
             s.decode() == "<OOV>" for row in got for s in row
         )
 
-    def test_sequence_features_rejected(self, exported, tmp_path):
-        service, _ = exported
-        from hm_retrieval_tpu.schema.features import (
+    def test_sequence_feature_export_matches_service(self, tmp_path):
+        # SEQUENCE query features export with a (None, max_len) string
+        # input: per-token hash-table lookup, "" pads -> id 0 (masked
+        # by pooling), matching Feature.encode_sequence exactly.
+        import jax
+
+        from hm_retrieval_tpu.indices.brute_force import (
+            BruteForceIndex,
+        )
+        from hm_retrieval_tpu.models.tower import init_tower_params
+        from hm_retrieval_tpu.schema import (
             Feature,
             FeatureFamily,
             FeatureKind,
+            ModelConfig,
+            Schema,
+            TrainingConfig,
         )
+        from hm_retrieval_tpu.serving.service import RetrievalService
 
-        seq = Feature(
-            "history",
-            FeatureKind.SEQUENCE,
-            FeatureFamily.QUERY,
-            embedding_size=4,
-            max_len=8,
-            vocab=np.array(["a"]),
+        rng = np.random.default_rng(3)
+        max_len = 4
+        articles = np.array([f"a{i}" for i in range(30)])
+        feats = [
+            Feature(
+                "customer_id",
+                FeatureKind.CATEGORICAL,
+                FeatureFamily.QUERY,
+                embedding_size=8,
+                vocab=np.array([f"c{i}" for i in range(20)]),
+            ),
+            Feature(
+                "purchase_history",
+                FeatureKind.SEQUENCE,
+                FeatureFamily.QUERY,
+                embedding_size=8,
+                max_len=max_len,
+                vocab=articles,
+            ),
+            Feature(
+                "article_id",
+                FeatureKind.CATEGORICAL,
+                FeatureFamily.CANDIDATE,
+                embedding_size=8,
+                vocab=articles,
+            ),
+        ]
+        schema = Schema(
+            features=feats,
+            model_config=ModelConfig(
+                joint_embedding_size=8, ks=[5]
+            ),
+            training_config=TrainingConfig(),
+            candidate_id_col="article_id",
         )
-        schema = service.schema
-        orig = schema.features
-        try:
-            schema.features = list(orig) + [seq]
-            with pytest.raises(ValueError, match="sequence"):
-                export_index_savedmodel(
-                    schema,
-                    service.params,
-                    service.index,
-                    str(tmp_path / "sm"),
-                )
-        finally:
-            schema.features = orig
+        params = init_tower_params(
+            jax.random.PRNGKey(1), schema.query_features, 8
+        )
+        index = BruteForceIndex(
+            5,
+            np.arange(1, 31, dtype=np.int32),
+            rng.normal(size=(30, 8)).astype(np.float32),
+        )
+        service = RetrievalService(schema, params, index)
+        out = str(tmp_path / "sm_seq")
+        export_index_savedmodel(schema, params, index, out)
+        serve = tf.saved_model.load(out).signatures[
+            "serving_default"
+        ]
+
+        histories = [
+            ["a1", "a5", "a5"],      # short: pads
+            [],                       # empty: all-pad row
+            ["a2", "never_seen", "a9", "a0"],  # full + OOV token
+        ]
+        raw = {
+            "customer_id": ["c1", "c5", "never"],
+            "purchase_history": histories,
+        }
+        want = service.retrieve(raw)
+        padded = np.full((3, max_len), "", dtype=object)
+        for r, h in enumerate(histories):
+            padded[r, : len(h)] = h
+        got = serve(
+            customer_id=tf.constant(
+                [[v] for v in raw["customer_id"]]
+            ),
+            purchase_history=tf.constant(
+                padded.astype(str), dtype=tf.string
+            ),
+        )["candidate_ids"].numpy()
+        assert [[s.decode() for s in row] for row in got] == want
