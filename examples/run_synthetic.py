@@ -36,6 +36,13 @@ def main():
         "history (BASELINE config[3])",
     )
     ap.add_argument(
+        "--history-pooling",
+        choices=["mean", "attention"],
+        default="mean",
+        help="how history token embeddings pool to one vector: "
+        "masked mean or learned-query attention",
+    )
+    ap.add_argument(
         "--uniform-negatives",
         type=int,
         default=0,
@@ -146,6 +153,7 @@ def main():
                 embedding_size=64,
                 max_len=16,
                 shared_vocab_with="article_id",
+                pooling=args.history_pooling,
             )
         )
     schema = Schema(

@@ -61,20 +61,61 @@ def embedding_output_dim(features: List[Feature]) -> int:
     return dim
 
 
+def pool_sequence(
+    f: Feature,
+    ids: jax.Array,
+    emb: jax.Array,
+    attention: Dict[str, jax.Array] = None,
+) -> jax.Array:
+    """(B, L, E) token embeddings -> (B, E), masking pad id 0.
+
+    ``f.pooling == "mean"``: masked mean (all-pad rows pool to zeros).
+    ``f.pooling == "attention"``: learned-query dot-product attention —
+    softmax over valid positions of ``emb @ w`` with ``w`` the (E,)
+    vector in ``attention[f.name]``. ``w`` is zero-initialized
+    (models/tower.py), so at init the weights are uniform over valid
+    positions and the pooled output equals the masked mean; training
+    then learns which history positions matter. All-pad rows pool to
+    zeros, matching the mean path."""
+    mask = (ids != 0).astype(emb.dtype)  # (B, L)
+    if f.pooling == "attention":
+        w = attention[f.name]  # (E,)
+        scores = jnp.einsum("ble,e->bl", emb, w)
+        scores = jnp.where(ids != 0, scores, -jnp.inf)
+        # exp(score - max); all-pad rows have max=-inf -> force exp=0
+        # everywhere instead of nan, so they pool to zeros like "mean"
+        z = jnp.exp(
+            scores
+            - jnp.maximum(
+                scores.max(axis=1, keepdims=True), -1e30
+            )
+        )
+        z = z * mask
+        denom = jnp.maximum(z.sum(axis=1, keepdims=True), 1e-30)
+        return jnp.einsum("bl,ble->be", z / denom, emb)
+    denom = jnp.maximum(mask.sum(axis=1, keepdims=True), 1.0)
+    return (emb * mask[:, :, None]).sum(axis=1) / denom
+
+
 def apply_embeddings(
     params: Params,
     features: List[Feature],
     batch: Dict[str, jax.Array],
     rows: Dict[str, jax.Array] = None,
+    attention: Dict[str, jax.Array] = None,
 ) -> jax.Array:
     """Gather + concat. ``batch[name]`` is (B,) int32 for categorical
-    features, (B, max_len) int32 for sequence features (0 = pad, masked
-    mean-pooled to (B, E)), and (B,) float32 for numeric ones.
+    features, (B, max_len) int32 for sequence features (0 = pad, pooled
+    to (B, E) per the feature's ``pooling`` mode), and (B,) float32 for
+    numeric ones.
 
     ``rows``: optional pre-gathered table rows per feature ((B, E) /
     (B, L, E)) replacing the ``params`` lookups — the sparse-optimizer
     differentiation point (models/sparse_optimizer.py). Pooling/concat
-    stay shared so the dense and sparse paths cannot drift apart."""
+    stay shared so the dense and sparse paths cannot drift apart.
+
+    ``attention``: pooling params for attention-pooled sequence
+    features ({feature: (E,)}), from the tower's "attention" subtree."""
     parts = []
     for f in features:
         x = batch[f.name]
@@ -91,13 +132,7 @@ def apply_embeddings(
                 if rows is not None and f.name in rows
                 else jnp.take(params[f.name], x, axis=0)
             )  # (B, L, E)
-            mask = (x != 0).astype(emb.dtype)          # (B, L)
-            denom = jnp.maximum(
-                mask.sum(axis=1, keepdims=True), 1.0
-            )
-            parts.append(
-                (emb * mask[:, :, None]).sum(axis=1) / denom
-            )
+            parts.append(pool_sequence(f, x, emb, attention))
         else:
             parts.append(x.astype(jnp.float32)[:, None])
     return jnp.concatenate(parts, axis=-1)

@@ -48,6 +48,26 @@ class SparseTrainState(NamedTuple):
     step: jax.Array
 
 
+def split_dense_params(params: Dict) -> Dict:
+    """The dense-updated subtree: everything except the embedding
+    tables (the MLP "dense" stack plus any attention-pooling params —
+    see models/tower.py's pytree layout). This is what the optax
+    transform owns; tables get the sparse Adagrad update."""
+    return {
+        t: {k: v for k, v in params[t].items() if k != "embeddings"}
+        for t in params
+    }
+
+
+def merge_dense_params(dense_params: Dict, params: Dict) -> Dict:
+    """Rebuild the full tree from a dense subtree + the embedding
+    tables of ``params`` (inverse of split_dense_params)."""
+    return {
+        t: {**dense_params[t], "embeddings": params[t]["embeddings"]}
+        for t in dense_params
+    }
+
+
 def _table_features(model: TwoTowerModel):
     return {
         "query_tower": [
@@ -137,10 +157,8 @@ def create_sparse_train_state(
         }
         for tower, feats in tables.items()
     }
-    # dense transform sees only the MLP ("dense") subtree
-    dense_params = {
-        t: {"dense": params[t]["dense"]} for t in params
-    }
+    # dense transform sees everything but the embedding tables
+    dense_params = split_dense_params(params)
     return SparseTrainState(
         params=params,
         dense_opt_state=dense_optimizer.init(dense_params),
@@ -162,18 +180,10 @@ def make_sparse_train_step(
     def step(state: SparseTrainState, batch):
         params = state.params
         rows = _gather_rows(params, model, batch)
-        dense_params = {
-            t: {"dense": params[t]["dense"]} for t in params
-        }
+        dense_params = split_dense_params(params)
 
         def loss_fn(dense_params, rows):
-            full = {
-                t: {
-                    "dense": dense_params[t]["dense"],
-                    "embeddings": params[t]["embeddings"],
-                }
-                for t in params
-            }
+            full = merge_dense_params(dense_params, params)
             return _forward_from_rows(full, model, batch, rows)
 
         loss, (g_dense, g_rows) = jax.value_and_grad(
@@ -189,7 +199,7 @@ def make_sparse_train_step(
         new_accs = {}
         for tower, feats in tables.items():
             new_params[tower] = {
-                "dense": new_dense[tower]["dense"],
+                **new_dense[tower],
                 "embeddings": dict(params[tower]["embeddings"]),
             }
             new_accs[tower] = {}

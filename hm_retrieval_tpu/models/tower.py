@@ -17,7 +17,13 @@ numeric features in ETL before training.
 
 Params pytree:
     {"embeddings": {feature: (V+1, E)},
-     "dense": [{"w": (in, out), "b": (out,)}, ...]}
+     "dense": [{"w": (in, out), "b": (out,)}, ...],
+     "attention": {feature: (E,)}}   # only when a sequence feature
+                                     # uses pooling="attention"
+
+Everything outside "embeddings" (the MLP stack and the attention pooling
+queries) is dense-updated by the optax transform; the sparse optimizers
+split on that key (models/sparse_optimizer.py::split_dense_params).
 """
 
 from __future__ import annotations
@@ -32,7 +38,7 @@ from hm_retrieval_tpu.models.embedding import (
     embedding_output_dim,
     init_embedding_params,
 )
-from hm_retrieval_tpu.schema.features import Feature
+from hm_retrieval_tpu.schema.features import Feature, FeatureKind
 
 TowerParams = Dict
 
@@ -66,6 +72,18 @@ def init_tower_params(
                 "b": jnp.zeros((d_out,), dtype),
             }
         )
+    attn_feats = [
+        f
+        for f in features
+        if f.kind == FeatureKind.SEQUENCE and f.pooling == "attention"
+    ]
+    if attn_feats:
+        # zero-init: attention starts exactly at the masked-mean
+        # solution (see embedding.pool_sequence)
+        params["attention"] = {
+            f.name: jnp.zeros((f.embedding_size,), dtype)
+            for f in attn_feats
+        }
     return params
 
 
@@ -79,7 +97,11 @@ def tower_forward(
     including the last, uses ReLU (ref: tower.py:36-49). ``rows``
     optionally overrides table gathers (see apply_embeddings)."""
     x = apply_embeddings(
-        params["embeddings"], features, batch, rows=rows
+        params["embeddings"],
+        features,
+        batch,
+        rows=rows,
+        attention=params.get("attention"),
     )
     for layer in params["dense"]:
         x = jax.nn.relu(

@@ -56,6 +56,8 @@ from hm_retrieval_tpu.models.sparse_optimizer import (
     _sparse_adagrad_update,
     _table_features,
     create_sparse_train_state,
+    merge_dense_params,
+    split_dense_params,
 )
 from hm_retrieval_tpu.models.two_tower import TwoTowerModel
 from hm_retrieval_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
@@ -202,20 +204,12 @@ def make_sharded_sparse_train_step(
         token0 = jnp.zeros((), jnp.float32)
         rows, token = gather_rows_local(params, batch, token0)
         token = jax.lax.stop_gradient(token)
-        dense_params = {
-            t: {"dense": params[t]["dense"]} for t in params
-        }
+        dense_params = split_dense_params(params)
         ids_local = batch[model.candidate_id_col]
         b = ids_local.shape[0]
 
         def loss_fn(dense_params, rows):
-            full = {
-                t: {
-                    "dense": dense_params[t]["dense"],
-                    "embeddings": params[t]["embeddings"],
-                }
-                for t in params
-            }
+            full = merge_dense_params(dense_params, params)
             q = model.query_forward(
                 full, batch, rows=rows["query_tower"]
             )
@@ -270,7 +264,7 @@ def make_sharded_sparse_train_step(
         new_accs = {}
         for tower, feats in tables.items():
             new_params[tower] = {
-                "dense": new_dense[tower]["dense"],
+                **new_dense[tower],
                 "embeddings": dict(params[tower]["embeddings"]),
             }
             new_accs[tower] = {}

@@ -48,6 +48,8 @@ from hm_retrieval_tpu.models.sparse_optimizer import (
     _gather_rows,
     _sparse_adagrad_update,
     _table_features,
+    merge_dense_params,
+    split_dense_params,
 )
 from hm_retrieval_tpu.models.two_tower import TwoTowerModel
 from hm_retrieval_tpu.parallel.mesh import DATA_AXIS, replicated
@@ -69,20 +71,12 @@ def make_dp_sparse_train_step(
     def local_step(state: SparseTrainState, batch):
         params = state.params
         rows = _gather_rows(params, model, batch)
-        dense_params = {
-            t: {"dense": params[t]["dense"]} for t in params
-        }
+        dense_params = split_dense_params(params)
         ids_local = batch[model.candidate_id_col]
         b = ids_local.shape[0]
 
         def loss_fn(dense_params, rows):
-            full = {
-                t: {
-                    "dense": dense_params[t]["dense"],
-                    "embeddings": params[t]["embeddings"],
-                }
-                for t in params
-            }
+            full = merge_dense_params(dense_params, params)
             q = model.query_forward(
                 full, batch, rows=rows["query_tower"]
             )
@@ -128,7 +122,7 @@ def make_dp_sparse_train_step(
         new_accs = {}
         for tower, feats in tables.items():
             new_params[tower] = {
-                "dense": new_dense[tower]["dense"],
+                **new_dense[tower],
                 "embeddings": dict(params[tower]["embeddings"]),
             }
             new_accs[tower] = {}

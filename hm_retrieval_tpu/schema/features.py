@@ -76,6 +76,12 @@ class Feature:
     # (e.g. purchase history shares the article_id vocab). Wired by the
     # Schema after construction/load.
     shared_vocab_with: Optional[str] = None
+    # Sequence-only: how the (B, L, E) token embeddings pool to (B, E).
+    # "mean" = masked mean (BASELINE config[3] default); "attention" =
+    # learned-query dot-product attention over valid positions (the
+    # config[3] "mean-pool/attention" alternative; zero-initialized, so
+    # training starts exactly at the mean-pool solution).
+    pooling: str = "mean"
     # token -> id cache (built lazily; not serialized)
     _token_to_id: Optional[Dict[str, int]] = field(
         default=None, repr=False, compare=False
@@ -122,6 +128,19 @@ class Feature:
         elif self.max_len is not None:
             raise ValueError(
                 f"max_len only applies to sequence features "
+                f"({self.name!r})"
+            )
+        if self.pooling not in ("mean", "attention"):
+            raise ValueError(
+                f"unknown pooling {self.pooling!r} for {self.name!r} "
+                "(expected 'mean' or 'attention')"
+            )
+        if (
+            self.pooling != "mean"
+            and self.kind != FeatureKind.SEQUENCE
+        ):
+            raise ValueError(
+                f"pooling only applies to sequence features "
                 f"({self.name!r})"
             )
         if self.vocab is not None:
@@ -254,6 +273,7 @@ class Feature:
             "std": self.std,
             "max_len": self.max_len,
             "shared_vocab_with": self.shared_vocab_with,
+            "pooling": self.pooling,
         }
 
     @classmethod
@@ -272,4 +292,5 @@ class Feature:
             std=payload.get("std"),
             max_len=payload.get("max_len"),
             shared_vocab_with=payload.get("shared_vocab_with"),
+            pooling=payload.get("pooling", "mean"),
         )

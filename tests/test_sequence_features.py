@@ -217,6 +217,14 @@ class TestSequenceTower:
         )
         np.testing.assert_allclose(np.asarray(emb)[0, :8], 0.0)
 
+    def test_no_attention_subtree_without_attention_features(self):
+        # default mean pooling must not change the params pytree
+        # (checkpoint compatibility)
+        model = self.make_model()
+        params = model.init_params(0)
+        assert "attention" not in params["query_tower"]
+        assert "attention" not in params["candidate_tower"]
+
     def test_training_learns_from_history(self, rng):
         # queries identified ONLY by history (constant customer id);
         # target article == last history item's "next" pattern
@@ -246,3 +254,189 @@ class TestSequenceTower:
             state, m = step(state, batch)
             losses.append(float(m["loss"]))
         assert losses[-1] < losses[0] * 0.5
+
+
+class TestAttentionPooling:
+    """pooling="attention": learned-query attention over history
+    positions (the BASELINE config[3] "mean-pool/attention"
+    alternative)."""
+
+    def make_model(self, pooling):
+        vocab = np.array([f"a{i}" for i in range(20)])
+        return TwoTowerModel(
+            query_features=[
+                Feature(
+                    "history",
+                    FeatureKind.SEQUENCE,
+                    FeatureFamily.QUERY,
+                    embedding_size=8,
+                    max_len=4,
+                    vocab=vocab,
+                    pooling=pooling,
+                ),
+            ],
+            candidate_features=[
+                Feature(
+                    "article_id",
+                    FeatureKind.CATEGORICAL,
+                    FeatureFamily.CANDIDATE,
+                    embedding_size=8,
+                    vocab=vocab,
+                ),
+            ],
+            candidate_id_col="article_id",
+            joint_embedding_size=16,
+        )
+
+    def test_validation(self):
+        with pytest.raises(ValueError, match="unknown pooling"):
+            Feature(
+                "h",
+                FeatureKind.SEQUENCE,
+                FeatureFamily.QUERY,
+                embedding_size=4,
+                max_len=2,
+                pooling="max",
+            )
+        with pytest.raises(ValueError, match="only applies to"):
+            Feature(
+                "c",
+                FeatureKind.CATEGORICAL,
+                FeatureFamily.QUERY,
+                embedding_size=4,
+                pooling="attention",
+            )
+
+    def test_zero_init_equals_mean_pool(self, rng):
+        # same seed -> identical tables; zero attention query gives
+        # uniform weights over valid positions == masked mean
+        m_attn = self.make_model("attention")
+        m_mean = self.make_model("mean")
+        p_attn = m_attn.init_params(0)
+        p_mean = m_mean.init_params(0)
+        assert "attention" in p_attn["query_tower"]
+        batch = {
+            "history": jnp.asarray(
+                rng.integers(0, 21, (8, 4)).astype(np.int32)
+            )
+        }
+        out_a = m_attn.query_forward(p_attn, batch)
+        out_m = m_mean.query_forward(p_mean, batch)
+        np.testing.assert_allclose(
+            np.asarray(out_a), np.asarray(out_m), rtol=1e-5,
+            atol=1e-6,
+        )
+
+    def test_all_pad_row_pools_to_zero(self):
+        from hm_retrieval_tpu.models import apply_embeddings
+
+        model = self.make_model("attention")
+        params = model.init_params(0)
+        emb = apply_embeddings(
+            params["query_tower"]["embeddings"],
+            model.query_features,
+            {"history": np.zeros((2, 4), np.int32)},
+            attention=params["query_tower"]["attention"],
+        )
+        assert np.isfinite(np.asarray(emb)).all()
+        np.testing.assert_allclose(np.asarray(emb), 0.0)
+
+    def test_attention_params_train(self, rng):
+        model = self.make_model("attention")
+        opt = OptimizerFactory.get_optimizer(
+            "adagrad", {"learning_rate": 0.1}
+        )
+        state = create_train_state(model, opt, 0)
+        step = make_train_step(model, opt)
+        B = 16
+        arts = rng.integers(1, 21, B).astype(np.int32)
+        noise = rng.integers(1, 21, B).astype(np.int32)
+        batch = {
+            # signal in position 0, noise in position 1
+            "history": jnp.asarray(
+                np.stack(
+                    [
+                        np.array([a, n, 0, 0], np.int32)
+                        for a, n in zip(arts, noise)
+                    ]
+                )
+            ),
+            "article_id": jnp.asarray(arts),
+        }
+        losses = []
+        for _ in range(150):
+            state, m = step(state, batch)
+            losses.append(float(m["loss"]))
+        assert losses[-1] < losses[0] * 0.5
+        # gradients reached the attention query vector
+        w = np.asarray(
+            state.params["query_tower"]["attention"]["history"]
+        )
+        assert np.abs(w).max() > 0.0
+
+    def test_sparse_step_matches_dense_with_attention(self, rng):
+        from hm_retrieval_tpu.models.sparse_optimizer import (
+            create_sparse_train_state,
+            make_sparse_train_step,
+        )
+
+        model = self.make_model("attention")
+        lr = 0.05
+        opt = OptimizerFactory.get_optimizer(
+            "adagrad", {"learning_rate": lr}
+        )
+        dense_state = create_train_state(model, opt, seed=0)
+        dense_step = make_train_step(model, opt)
+        sparse_state = create_sparse_train_state(model, opt, seed=0)
+        sparse_step = make_sparse_train_step(model, opt, lr)
+        for _ in range(4):
+            batch = {
+                "history": jnp.asarray(
+                    rng.integers(0, 21, (8, 4)).astype(np.int32)
+                ),
+                "article_id": jnp.asarray(
+                    rng.integers(0, 21, 8).astype(np.int32)
+                ),
+            }
+            dense_state, md = dense_step(dense_state, batch)
+            sparse_state, ms = sparse_step(sparse_state, batch)
+            np.testing.assert_allclose(
+                float(md["loss"]), float(ms["loss"]), rtol=1e-5
+            )
+        for a, b in zip(
+            jax.tree.leaves(dense_state.params),
+            jax.tree.leaves(sparse_state.params),
+        ):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6
+            )
+
+    def test_pooling_survives_schema_roundtrip(self, tmp_path):
+        schema = Schema(
+            features=[
+                Feature(
+                    "history",
+                    FeatureKind.SEQUENCE,
+                    FeatureFamily.QUERY,
+                    embedding_size=4,
+                    max_len=2,
+                    shared_vocab_with="article_id",
+                    pooling="attention",
+                ),
+                Feature(
+                    "article_id",
+                    FeatureKind.CATEGORICAL,
+                    FeatureFamily.CANDIDATE,
+                    embedding_size=4,
+                ),
+            ],
+            model_config=ModelConfig(joint_embedding_size=4, ks=[1]),
+            training_config=TrainingConfig(),
+        )
+        schema.build_features_from_dataframe(
+            pd.DataFrame({"article_id": ["p", "q"]})
+        )
+        schema.save(str(tmp_path / "s"))
+        loaded = Schema.load(str(tmp_path / "s"))
+        assert loaded.feature("history").pooling == "attention"
+        assert loaded.feature("article_id").pooling == "mean"
