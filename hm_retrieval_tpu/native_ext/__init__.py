@@ -110,6 +110,27 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.c_void_p,
             ctypes.c_int,
         ]
+        lib.tfrecord_masked_crc.restype = ctypes.c_uint32
+        lib.tfrecord_masked_crc.argtypes = [
+            ctypes.c_char_p,
+            ctypes.c_uint64,
+        ]
+        lib.tfrecord_scan.restype = ctypes.c_int64
+        lib.tfrecord_scan.argtypes = [
+            ctypes.c_char_p,
+            ctypes.c_uint64,
+            ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint64),
+            ctypes.POINTER(ctypes.c_uint64),
+            ctypes.c_uint64,
+        ]
+        lib.tfrecord_frame.argtypes = [
+            ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_uint64),
+            ctypes.c_uint64,
+            ctypes.c_void_p,
+            ctypes.c_int,
+        ]
         _lib = lib
         logger.info("native shardio kernels loaded (%s)", _LIB_PATH)
         return _lib
@@ -178,6 +199,63 @@ class NativeVocab:
                 self._lib.vocab_destroy(self._handle)
         except Exception:
             pass
+
+
+def tfrecord_masked_crc(data: bytes) -> Optional[int]:
+    """Masked CRC32C of ``data`` (TFRecord framing checksum); None when
+    the native lib is unavailable (callers fall back to pure Python)."""
+    lib = _load()
+    if lib is None:
+        return None
+    return int(lib.tfrecord_masked_crc(data, len(data)))
+
+
+def tfrecord_scan(buf: bytes, verify: bool = True):
+    """Scan a whole TFRecord file image: returns (offsets, lengths)
+    uint64 arrays of the record payloads, or None when the native lib is
+    unavailable. Raises ValueError on framing/CRC corruption."""
+    lib = _load()
+    if lib is None:
+        return None
+    # Upper bound: every record needs >= 16 framing bytes + 1 payload.
+    cap = max(1, len(buf) // 16)
+    offsets = np.empty(cap, np.uint64)
+    lengths = np.empty(cap, np.uint64)
+    n = lib.tfrecord_scan(
+        buf,
+        len(buf),
+        1 if verify else 0,
+        offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        lengths.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        cap,
+    )
+    if n < 0:
+        raise ValueError(
+            f"corrupt TFRecord data at byte {-n - 1}"
+        )
+    return offsets[:n], lengths[:n]
+
+
+def tfrecord_frame(
+    payloads_blob: bytes, offsets: np.ndarray, n_threads: int = 0
+) -> Optional[bytes]:
+    """Frame concatenated record payloads (boundaries in ``offsets``,
+    an (m+1,) uint64 array) into a full TFRecord file image; None when
+    the native lib is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    offsets = np.ascontiguousarray(offsets, np.uint64)
+    m = len(offsets) - 1
+    out = ctypes.create_string_buffer(len(payloads_blob) + 16 * m)
+    lib.tfrecord_frame(
+        payloads_blob,
+        offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        m,
+        out,
+        n_threads,
+    )
+    return out.raw
 
 
 def gather_rows(
