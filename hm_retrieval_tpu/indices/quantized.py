@@ -1,0 +1,416 @@
+"""Int8-quantized scan index: the TPU-native ANN family.
+
+Beyond-parity component (the reference is exact-only,
+ref: pkg/modelling/indices/brute_force.py:75-83). The classic ANN answer
+on CPU/GPU is an inverted-file (IVF) index, but IVF is a poor fit for
+TPUs: per-query bucket probing needs scattered HBM gathers with
+data-dependent shapes — exactly what the MXU/XLA model punishes. The
+TPU-honest design (ScaNN-style) keeps the scan **dense** and attacks the
+real bottleneck, HBM bandwidth:
+
+1. store the catalog as symmetric per-row int8 (4x less HBM traffic
+   than fp32; the MXU multiplies int8 natively);
+2. stream the catalog in fixed chunks: int8 x int8 -> int32 matmul,
+   rescale to fp32, keep an oversampled per-chunk top-k'
+   (``lax.approx_max_k`` — the hardware PartialReduce) merged across
+   chunks on device;
+3. optionally re-score the k' survivors against the fp32 rows and take
+   the exact top-k among them, so quantization affects only which rows
+   *reach* the rescore, not their final ordering.
+
+With the default 4x oversample the end-to-end recall vs the exact
+brute-force oracle is ~1.0 (tests assert >= 0.99 on Gaussian data); the
+memory story is 1/4 of fp32 with ``rescore=False`` and 5/4 with the
+fp32 rescore table kept.
+
+API-compatible with BruteForceIndex (query / topk_from_embeddings /
+save / load), so IndexRecall and the runners can use either.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+from functools import partial
+from typing import Callable, Dict, Iterable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+Batch = Dict[str, jax.Array]
+
+
+def _pad_to_multiple(n: int, m: int) -> int:
+    return ((n + m - 1) // m) * m
+
+
+def quantize_rows(embeddings: np.ndarray):
+    """Symmetric per-row int8 quantization: returns (int8 codes,
+    fp32 per-row scales). Zero rows get scale 1 (codes all 0)."""
+    emb = np.asarray(embeddings, np.float32)
+    scales = np.max(np.abs(emb), axis=1) / 127.0
+    scales = np.where(scales > 0, scales, 1.0).astype(np.float32)
+    codes = np.clip(
+        np.rint(emb / scales[:, None]), -127, 127
+    ).astype(np.int8)
+    return codes, scales
+
+
+class QuantizedIndex:
+    """Approximate (near-exact) top-k retrieval over an int8 catalog.
+
+    Parameters
+    ----------
+    k:
+        Neighbours returned.
+    identifiers / embeddings:
+        Same contract as BruteForceIndex: (N,) int ids, (N, E) fp32.
+    oversample:
+        The quantized scan keeps ``oversample * k`` candidates before the
+        fp32 rescore; higher = better recall, more rescore work.
+    rescore:
+        Keep the fp32 catalog and exactly re-score the survivors
+        (default). ``False`` drops the fp32 copy (1/4 memory) and ranks
+        by dequantized scores.
+    chunk:
+        Catalog rows scored per scan step (bounds peak score-matrix
+        memory at ``B * chunk`` fp32).
+    recall_target:
+        Per-chunk ``approx_max_k`` recall target for the oversampled
+        candidate set.
+    """
+
+    PAD_MULTIPLE = 1024
+
+    def __init__(
+        self,
+        k: int,
+        identifiers: np.ndarray,
+        embeddings: np.ndarray,
+        oversample: int = 4,
+        rescore: bool = True,
+        chunk: int = 65536,
+        recall_target: float = 0.95,
+    ):
+        if k <= 0:
+            raise ValueError("k must be positive")
+        if oversample < 1:
+            raise ValueError("oversample must be >= 1")
+        if not 0.0 < recall_target <= 1.0:
+            raise ValueError("recall_target must be in (0, 1]")
+        identifiers = np.asarray(identifiers)
+        embeddings = np.asarray(embeddings, np.float32)
+        if identifiers.ndim != 1 or embeddings.ndim != 2:
+            raise ValueError(
+                "identifiers must be (N,), embeddings (N, E)"
+            )
+        if len(identifiers) != len(embeddings):
+            raise ValueError(
+                "identifiers and embeddings length mismatch"
+            )
+        self.k = int(k)
+        self.num_candidates = len(identifiers)
+        if self.num_candidates < k:
+            raise ValueError(
+                f"k={k} exceeds number of candidates "
+                f"{self.num_candidates}"
+            )
+        self.oversample = int(oversample)
+        self.rescore = bool(rescore)
+        self.recall_target = float(recall_target)
+
+        n_pad = _pad_to_multiple(
+            self.num_candidates, self.PAD_MULTIPLE
+        )
+        # Small catalogs: one chunk covering everything. The per-chunk
+        # approx_max_k keeps k_over rows, so chunk must cover both k and
+        # the oversampled set.
+        self.chunk = int(min(chunk, n_pad))
+        if self.chunk < self.k:
+            raise ValueError(
+                f"chunk={self.chunk} must be >= k={self.k}"
+            )
+        n_pad = _pad_to_multiple(self.num_candidates, self.chunk)
+        self.k_over = int(
+            min(max(self.oversample * self.k, self.k), self.chunk)
+        )
+
+        codes, scales = quantize_rows(embeddings)
+        codes_p = np.zeros((n_pad, embeddings.shape[1]), np.int8)
+        codes_p[: self.num_candidates] = codes
+        scales_p = np.zeros((n_pad,), np.float32)
+        scales_p[: self.num_candidates] = scales
+        bias = np.zeros((n_pad,), np.float32)
+        bias[self.num_candidates:] = -np.inf
+        ids = np.zeros((n_pad,), identifiers.dtype)
+        ids[: self.num_candidates] = identifiers
+
+        self.codes = jnp.asarray(codes_p)
+        self.scales = jnp.asarray(scales_p)
+        self._score_bias = jnp.asarray(bias)
+        self.identifiers = jnp.asarray(ids)
+        if self.rescore:
+            emb_p = np.zeros(
+                (n_pad, embeddings.shape[1]), np.float32
+            )
+            emb_p[: self.num_candidates] = embeddings
+            self.embeddings: Optional[jax.Array] = jnp.asarray(emb_p)
+        else:
+            self.embeddings = None
+
+    # ------------------------------------------------------------------
+    @classmethod
+    def build_from_batches(
+        cls,
+        k: int,
+        candidate_id_col: str,
+        embed_fn: Callable[[Batch], jax.Array],
+        batches: Iterable[Batch],
+        batch_size: int,
+        **kwargs,
+    ) -> "QuantizedIndex":
+        """Embed the catalog with the candidate tower (same contract as
+        BruteForceIndex.build_from_batches)."""
+        ids_parts, emb_parts = [], []
+        for batch in batches:
+            n = len(batch[candidate_id_col])
+            if n < batch_size:
+                def _pad(v):
+                    v = np.asarray(v)
+                    widths = [(0, batch_size - n)] + [(0, 0)] * (
+                        v.ndim - 1
+                    )
+                    return np.pad(v, widths)
+
+                batch = {key: _pad(v) for key, v in batch.items()}
+            emb = np.asarray(embed_fn(batch))[:n]
+            ids_parts.append(
+                np.asarray(batch[candidate_id_col])[:n]
+            )
+            emb_parts.append(emb)
+        identifiers = np.concatenate(ids_parts)
+        embeddings = np.concatenate(emb_parts)
+        logger.info(
+            "Built int8 quantized index over %d candidates (dim %d)",
+            len(identifiers),
+            embeddings.shape[1],
+        )
+        return cls(k, identifiers, embeddings, **kwargs)
+
+    # ------------------------------------------------------------------
+    @staticmethod
+    @partial(
+        jax.jit,
+        static_argnames=(
+            "k",
+            "k_over",
+            "chunk",
+            "recall_target",
+        ),
+    )
+    def _topk(
+        query_embeddings,  # (B, E) fp32
+        codes,             # (N_pad, E) int8
+        scales,            # (N_pad,)
+        score_bias,        # (N_pad,) 0 / -inf
+        identifiers,       # (N_pad,)
+        fp32_embeddings,   # (N_pad, E) or None
+        k,
+        k_over,
+        chunk,
+        recall_target,
+    ):
+        q = query_embeddings.astype(jnp.float32)
+        b = q.shape[0]
+        # Symmetric per-query int8 quantization.
+        t = jnp.max(jnp.abs(q), axis=1, keepdims=True) / 127.0
+        t = jnp.maximum(t, jnp.float32(1e-30))
+        qq = jnp.clip(jnp.rint(q / t), -127, 127).astype(jnp.int8)
+
+        n_pad = codes.shape[0]
+        n_chunks = n_pad // chunk
+        codes_r = codes.reshape(n_chunks, chunk, -1)
+        # Fold the per-query scale in once at the end: ranking within a
+        # query is invariant to t, so chunk scores use the row scale only.
+        row_scale = scales.reshape(n_chunks, chunk)
+        bias_r = score_bias.reshape(n_chunks, chunk)
+        base = (
+            jnp.arange(n_chunks, dtype=jnp.int32) * chunk
+        )
+
+        def body(carry, xs):
+            top_s, top_i = carry
+            codes_c, scale_c, bias_c, base_c = xs
+            iscores = jax.lax.dot_general(
+                qq,
+                codes_c,
+                (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )  # (B, chunk)
+            s = (
+                iscores.astype(jnp.float32) * scale_c[None, :]
+                + bias_c[None, :]
+            )
+            cs, ci = jax.lax.approx_max_k(
+                s, k_over, recall_target=recall_target
+            )
+            ci = ci.astype(jnp.int32) + base_c
+            ms = jnp.concatenate([top_s, cs], axis=1)
+            mi = jnp.concatenate([top_i, ci], axis=1)
+            ns, sel = jax.lax.top_k(ms, k_over)
+            ni = jnp.take_along_axis(mi, sel, axis=1)
+            return (ns, ni), None
+
+        init = (
+            jnp.full((b, k_over), -jnp.inf, jnp.float32),
+            jnp.zeros((b, k_over), jnp.int32),
+        )
+        (top_s, top_i), _ = jax.lax.scan(
+            body, init, (codes_r, row_scale, bias_r, base)
+        )
+
+        if fp32_embeddings is not None:
+            # Exact fp32 rescore of the survivors: quantization decides
+            # only WHICH rows reach here, never their final order.
+            rows = jnp.take(
+                fp32_embeddings, top_i, axis=0
+            )  # (B, k_over, E)
+            exact = jnp.einsum(
+                "be,bke->bk",
+                q,
+                rows,
+                preferred_element_type=jnp.float32,
+            ) + jnp.take(score_bias, top_i)
+            top_s, sel = jax.lax.top_k(exact, k)
+            top_i = jnp.take_along_axis(top_i, sel, axis=1)
+        else:
+            # Dequantize to true score scale (t folds back in here).
+            top_s = top_s[:, :k] * t
+            top_i = top_i[:, :k]
+        return top_s, jnp.take(identifiers, top_i)
+
+    def topk_from_embeddings(self, query_embeddings: jax.Array):
+        """(B, E) query embeddings -> ((B, k) scores, (B, k) int ids)."""
+        return self._topk(
+            query_embeddings,
+            self.codes,
+            self.scales,
+            self._score_bias,
+            self.identifiers,
+            self.embeddings,
+            self.k,
+            self.k_over,
+            self.chunk,
+            self.recall_target,
+        )
+
+    def query(
+        self,
+        query_fn: Callable[[Batch], jax.Array],
+        batch: Batch,
+    ) -> jax.Array:
+        """Embed queries, scan, select: (B, k) int ids."""
+        _, ids = self.topk_from_embeddings(query_fn(batch))
+        return ids
+
+    # ------------------------------------------------------------------
+    def save(self, dirpath: str) -> None:
+        os.makedirs(dirpath, exist_ok=True)
+        arrays = {
+            "identifiers": np.asarray(
+                self.identifiers[: self.num_candidates]
+            ),
+            "codes": np.asarray(
+                self.codes[: self.num_candidates]
+            ),
+            "scales": np.asarray(
+                self.scales[: self.num_candidates]
+            ),
+        }
+        if self.embeddings is not None:
+            arrays["embeddings"] = np.asarray(
+                self.embeddings[: self.num_candidates]
+            )
+        np.savez(os.path.join(dirpath, "index.npz"), **arrays)
+        with open(os.path.join(dirpath, "meta.json"), "w") as f:
+            json.dump(
+                {
+                    "k": self.k,
+                    "type": "quantized",
+                    "oversample": self.oversample,
+                    "rescore": self.rescore,
+                    "chunk": self.chunk,
+                    "recall_target": self.recall_target,
+                },
+                f,
+            )
+        logger.info("Saved quantized index to %s", dirpath)
+
+    @classmethod
+    def load(cls, dirpath: str) -> "QuantizedIndex":
+        with open(os.path.join(dirpath, "meta.json")) as f:
+            meta = json.load(f)
+        with np.load(os.path.join(dirpath, "index.npz")) as z:
+            rescore = meta.get("rescore", True)
+            if rescore and "embeddings" in z:
+                idx = cls(
+                    meta["k"],
+                    z["identifiers"],
+                    z["embeddings"],
+                    oversample=meta.get("oversample", 4),
+                    rescore=True,
+                    chunk=meta.get("chunk", 65536),
+                    recall_target=meta.get("recall_target", 0.95),
+                )
+                # Preserve the exact saved codes (round-trip identity
+                # regardless of requantization drift).
+                n = idx.num_candidates
+                idx.codes = idx.codes.at[:n].set(
+                    jnp.asarray(z["codes"])
+                )
+                idx.scales = idx.scales.at[:n].set(
+                    jnp.asarray(z["scales"])
+                )
+                return idx
+            # No fp32 table stored: reconstruct from codes alone.
+            idx = cls.__new__(cls)
+            idx.k = meta["k"]
+            idx.oversample = meta.get("oversample", 4)
+            idx.rescore = False
+            idx.recall_target = meta.get("recall_target", 0.95)
+            codes = z["codes"]
+            scales = z["scales"]
+            identifiers = z["identifiers"]
+            idx.num_candidates = len(identifiers)
+            n_pad = _pad_to_multiple(
+                idx.num_candidates, cls.PAD_MULTIPLE
+            )
+            idx.chunk = int(
+                min(meta.get("chunk", 65536), n_pad)
+            )
+            n_pad = _pad_to_multiple(
+                idx.num_candidates, idx.chunk
+            )
+            idx.k_over = int(
+                min(max(idx.oversample * idx.k, idx.k), idx.chunk)
+            )
+            codes_p = np.zeros(
+                (n_pad, codes.shape[1]), np.int8
+            )
+            codes_p[: idx.num_candidates] = codes
+            scales_p = np.zeros((n_pad,), np.float32)
+            scales_p[: idx.num_candidates] = scales
+            bias = np.zeros((n_pad,), np.float32)
+            bias[idx.num_candidates:] = -np.inf
+            ids = np.zeros((n_pad,), identifiers.dtype)
+            ids[: idx.num_candidates] = identifiers
+            idx.codes = jnp.asarray(codes_p)
+            idx.scales = jnp.asarray(scales_p)
+            idx._score_bias = jnp.asarray(bias)
+            idx.identifiers = jnp.asarray(ids)
+            idx.embeddings = None
+            return idx

@@ -83,16 +83,22 @@ def build_index(
     candidate_ds: ShardDataset,
     candidate_batch_size: int,
     k: int,
-) -> BruteForceIndex:
+    index_type: str = "brute_force",
+):
     """Embed the full catalog with the candidate tower in fixed-size
-    batches (ref: runner.py:88-93 + brute_force.py:31-52)."""
+    batches (ref: runner.py:88-93 + brute_force.py:31-52).
+    ``index_type`` picks the family (ModelConfig.index_type):
+    exact brute force or the int8 quantized scan index."""
+    from hm_retrieval_tpu.indices import INDEX_TYPES
+
+    index_cls = INDEX_TYPES[index_type]
     cand_fn = jax.jit(model.candidate_forward)
 
     def batches():
         for b in candidate_ds.iter_batches(candidate_batch_size):
             yield b
 
-    return BruteForceIndex.build_from_batches(
+    return index_cls.build_from_batches(
         k,
         model.candidate_id_col,
         lambda b: cand_fn(params, {k_: jax.numpy.asarray(v) for k_, v in b.items()}),
@@ -210,6 +216,7 @@ def evaluation_runner(
         cand_ds,
         tc.candidate_batch_size,
         min(max(mc.ks), cand_ds.num_rows),
+        index_type=mc.index_type,
     )
     res = evaluate(
         model,
@@ -400,6 +407,7 @@ def modelling_runner(
                 cand_ds,
                 tc.candidate_batch_size,
                 min(index_k, cand_ds.num_rows),
+                index_type=mc.index_type,
             )
             res = evaluate(
                 model,
@@ -466,6 +474,7 @@ def modelling_runner(
             cand_ds,
             tc.candidate_batch_size,
             min(index_k, cand_ds.num_rows),
+            index_type=mc.index_type,
         )
         results["final"] = evaluate(
             model,

@@ -102,7 +102,15 @@ def export_index_savedmodel(
     # ---- device-side function (traced once by jax2tf) ----------------
     # Closure-free: all weights arrive as explicit leaves so they become
     # tf.Variables in the SavedModel instead of giant graph constants.
-    emb = np.asarray(index.embeddings)  # padded (N_pad, E)
+    index_emb = index.embeddings
+    if index_emb is None:
+        # QuantizedIndex without the fp32 rescore table: export the
+        # dequantized catalog (codes * per-row scale) — the same ranking
+        # its rescore=False serving path uses.
+        index_emb = np.asarray(
+            index.codes, np.float32
+        ) * np.asarray(index.scales)[:, None]
+    emb = np.asarray(index_emb)  # padded (N_pad, E)
     bias = np.asarray(index._score_bias)  # (N_pad,), -inf on pad rows
     ids = np.asarray(index.identifiers)  # (N_pad,) int
     k = index.k

@@ -62,7 +62,9 @@ class RetrievalService:
         params = load_pytree_npz(
             f"{model_dirpath}/query_tower/params.npz"
         )
-        index = BruteForceIndex.load(index_dirpath)
+        from hm_retrieval_tpu.indices import load_index
+
+        index = load_index(index_dirpath)
         logger.info(
             "Loaded retrieval service: %d candidates, k=%d",
             index.num_candidates,

@@ -1,0 +1,248 @@
+"""Int8 quantized scan index: near-exact recall vs the brute-force
+oracle, multi-chunk merge correctness, rescore semantics, persistence,
+and the runner/serving integration via ModelConfig.index_type.
+(Beyond-parity ANN component — the reference is exact-only,
+ref: pkg/modelling/indices/brute_force.py:75-83.)"""
+
+import dataclasses
+import os
+import shutil
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hm_retrieval_tpu.indices.brute_force import BruteForceIndex
+from hm_retrieval_tpu.indices.quantized import (
+    QuantizedIndex,
+    quantize_rows,
+)
+
+from tests.test_runners import pipeline  # noqa: F401
+
+
+def recall_vs_oracle(got_ids, want_ids):
+    hits = 0
+    for g, w in zip(got_ids, want_ids):
+        hits += len(set(g.tolist()) & set(w.tolist()))
+    return hits / want_ids.size
+
+
+class TestQuantizeRows:
+    def test_roundtrip_error_bounded(self, rng):
+        emb = rng.normal(size=(64, 16)).astype(np.float32)
+        codes, scales = quantize_rows(emb)
+        deq = codes.astype(np.float32) * scales[:, None]
+        err = np.abs(deq - emb).max(axis=1)
+        assert (err <= scales / 2 + 1e-6).all()
+
+    def test_zero_row(self):
+        codes, scales = quantize_rows(np.zeros((2, 4)))
+        assert (codes == 0).all() and (scales == 1.0).all()
+
+
+class TestQuantizedIndex:
+    def _data(self, rng, n=3000, e=32):
+        emb = rng.normal(size=(n, e)).astype(np.float32)
+        ids = rng.permutation(n).astype(np.int32) + 1
+        q = rng.normal(size=(17, e)).astype(np.float32)
+        return ids, emb, q
+
+    def test_recall_vs_exact_oracle(self, rng):
+        ids, emb, q = self._data(rng)
+        k = 20
+        oracle = BruteForceIndex(k, ids, emb, method="full")
+        _, want = oracle.topk_from_embeddings(jnp.asarray(q))
+        idx = QuantizedIndex(k, ids, emb)
+        _, got = idx.topk_from_embeddings(jnp.asarray(q))
+        r = recall_vs_oracle(np.asarray(got), np.asarray(want))
+        assert r >= 0.99
+
+    def test_rescore_orders_exactly(self, rng):
+        """With rescore, returned scores are the exact fp32 dot
+        products and the ids that survive are ordered exactly."""
+        ids, emb, q = self._data(rng, n=500)
+        idx = QuantizedIndex(5, ids, emb, rescore=True)
+        scores, got = idx.topk_from_embeddings(jnp.asarray(q))
+        scores, got = np.asarray(scores), np.asarray(got)
+        id_to_row = {
+            int(i): emb[j] for j, i in enumerate(ids.tolist())
+        }
+        for b in range(len(q)):
+            want = np.array(
+                [q[b] @ id_to_row[int(i)] for i in got[b]]
+            )
+            np.testing.assert_allclose(
+                scores[b], want, rtol=1e-5, atol=1e-5
+            )
+            assert (np.diff(scores[b]) <= 1e-6).all()
+
+    def test_multi_chunk_equals_single_chunk(self, rng):
+        ids, emb, q = self._data(rng, n=4096)
+        one = QuantizedIndex(10, ids, emb, chunk=4096)
+        many = QuantizedIndex(10, ids, emb, chunk=1024)
+        _, a = one.topk_from_embeddings(jnp.asarray(q))
+        _, b = many.topk_from_embeddings(jnp.asarray(q))
+        # both rescore in fp32, so the candidate sets may differ at the
+        # margin but the top ids should agree almost everywhere
+        r = recall_vs_oracle(np.asarray(a), np.asarray(b))
+        assert r >= 0.99
+
+    def test_padding_never_selected(self, rng):
+        ids = np.array([1, 2, 3], np.int32)
+        emb = np.eye(3, 8, dtype=np.float32)
+        idx = QuantizedIndex(3, ids, emb)
+        scores, got = idx.topk_from_embeddings(
+            jnp.zeros((4, 8), jnp.float32)
+        )
+        assert set(np.asarray(got).ravel()) == {1, 2, 3}
+        assert np.isfinite(np.asarray(scores)).all()
+
+    def test_no_rescore_path(self, rng):
+        ids, emb, q = self._data(rng, n=800)
+        k = 10
+        oracle = BruteForceIndex(k, ids, emb, method="full")
+        _, want = oracle.topk_from_embeddings(jnp.asarray(q))
+        idx = QuantizedIndex(k, ids, emb, rescore=False)
+        assert idx.embeddings is None
+        _, got = idx.topk_from_embeddings(jnp.asarray(q))
+        r = recall_vs_oracle(np.asarray(got), np.asarray(want))
+        assert r >= 0.95  # 8-bit ranking without rescore
+
+    def test_query_api(self, rng):
+        from tests.test_indices import MockEmbeddingTable
+
+        ids = np.array([1, 2, 3], np.int32)
+        emb = np.array(
+            [[1.0, 0.0], [0.0, 1.0], [1.0, 1.0]], np.float32
+        )
+        table = np.array(
+            [[2.0, 0.0], [0.0, 2.0]], np.float32
+        )
+        idx = QuantizedIndex(2, ids, emb)
+        got = np.asarray(
+            idx.query(
+                MockEmbeddingTable(table),
+                {"qid": jnp.array([0, 1], jnp.int32)},
+            )
+        )
+        assert set(got[0]) == {1, 3}
+        assert set(got[1]) == {2, 3}
+
+    @pytest.mark.parametrize("rescore", [True, False])
+    def test_save_load_roundtrip(self, rng, tmp_path, rescore):
+        ids, emb, q = self._data(rng, n=600)
+        idx = QuantizedIndex(7, ids, emb, rescore=rescore)
+        _, want = idx.topk_from_embeddings(jnp.asarray(q))
+        idx.save(str(tmp_path))
+        loaded = QuantizedIndex.load(str(tmp_path))
+        assert loaded.rescore == rescore
+        assert loaded.k == 7
+        assert loaded.num_candidates == 600
+        _, got = loaded.topk_from_embeddings(jnp.asarray(q))
+        np.testing.assert_array_equal(
+            np.asarray(got), np.asarray(want)
+        )
+
+    def test_build_from_batches(self, rng):
+        ids, emb, q = self._data(rng, n=100, e=8)
+        table = jnp.asarray(emb)
+        # ids is a permutation of 1..100: invert it so id -> its row
+        row_of_id = np.empty(101, np.int32)
+        row_of_id[ids] = np.arange(100, dtype=np.int32)
+        row_of_id = jnp.asarray(row_of_id)
+
+        def embed(batch):
+            return jnp.take(
+                table,
+                jnp.take(row_of_id, batch["article_id"]),
+                axis=0,
+            )
+
+        batches = [
+            {"article_id": ids[lo : lo + 32]}
+            for lo in range(0, 100, 32)
+        ]
+        idx = QuantizedIndex.build_from_batches(
+            5, "article_id", embed, batches, 32
+        )
+        assert idx.num_candidates == 100
+        oracle = BruteForceIndex(5, ids, emb, method="full")
+        _, want = oracle.topk_from_embeddings(jnp.asarray(q))
+        _, got = idx.topk_from_embeddings(jnp.asarray(q))
+        assert (
+            recall_vs_oracle(np.asarray(got), np.asarray(want))
+            >= 0.99
+        )
+
+    def test_load_index_dispatch(self, rng, tmp_path):
+        from hm_retrieval_tpu.indices import load_index
+
+        ids, emb, _ = self._data(rng, n=300)
+        QuantizedIndex(3, ids, emb).save(str(tmp_path / "q"))
+        BruteForceIndex(3, ids, emb).save(str(tmp_path / "b"))
+        assert isinstance(
+            load_index(str(tmp_path / "q")), QuantizedIndex
+        )
+        assert isinstance(
+            load_index(str(tmp_path / "b")), BruteForceIndex
+        )
+
+    def test_validation(self, rng):
+        ids = np.arange(10, dtype=np.int32)
+        emb = np.ones((10, 4), np.float32)
+        with pytest.raises(ValueError):
+            QuantizedIndex(0, ids, emb)
+        with pytest.raises(ValueError):
+            QuantizedIndex(11, ids, emb)
+        with pytest.raises(ValueError):
+            QuantizedIndex(2, ids, emb, oversample=0)
+        with pytest.raises(ValueError):
+            QuantizedIndex(2, ids, emb, recall_target=0.0)
+
+
+class TestRunnerIntegration:
+    def test_evaluation_runner_with_quantized_index(
+        self, pipeline, tmp_path  # noqa: F811
+    ):
+        """Flip ModelConfig.index_type to 'quantized' and rerun the
+        eval-only stage from the trained checkpoint: recall must match
+        the exact index (near-exact ANN) and the saved artifact must
+        round-trip through the generic loader + RetrievalService."""
+        from hm_retrieval_tpu.indices import load_index
+        from hm_retrieval_tpu.runners import evaluation_runner
+        from hm_retrieval_tpu.schema import Schema
+        from hm_retrieval_tpu.serving import RetrievalService
+
+        settings, results, _ = pipeline
+        schema_dir = str(tmp_path / "schema")
+        shutil.copytree(settings.schema_dirpath, schema_dir)
+        schema = Schema.load(schema_dir)
+        schema.model_config.index_type = "quantized"
+        schema.save(schema_dir)
+        qsettings = dataclasses.replace(
+            settings,
+            schema_dirpath=schema_dir,
+            index_dirpath=str(tmp_path / "index"),
+        )
+        res = evaluation_runner(qsettings)
+        # same checkpoint as the pipeline's final exact eval
+        assert res[10] == pytest.approx(
+            results["final"][10], abs=0.02
+        )
+        assert os.path.exists(
+            os.path.join(qsettings.index_dirpath, "meta.json")
+        )
+        idx = load_index(qsettings.index_dirpath)
+        assert isinstance(idx, QuantizedIndex)
+
+        service = RetrievalService.load(
+            qsettings.schema_dirpath,
+            qsettings.model_dirpath,
+            qsettings.index_dirpath,
+        )
+        cust = service.schema.feature("customer_id").vocab[:3]
+        rows = service.retrieve({"customer_id": list(cust)}, k=5)
+        assert len(rows) == 3 and all(
+            len(r) == 5 for r in rows
+        )
