@@ -132,3 +132,147 @@ def make_distributed_topk(
         out_specs=(P(), P()),
         check_vma=False,
     )
+
+
+# ---------------------------------------------------------------------------
+# Quantized distributed retrieval (int8 shards; indices/quantized.py
+# semantics per shard, all-gather merge of the exact-rescored winners)
+# ---------------------------------------------------------------------------
+
+
+def shard_candidates_quantized(
+    embeddings: np.ndarray,   # (N, E)
+    identifiers: np.ndarray,  # (N,)
+    mesh,
+    keep_fp32: bool = True,
+):
+    """Pad + quantize + place the catalog row-sharded over the model
+    axis: returns (codes int8, scales, fp32 embeddings or None, ids,
+    bias). With ``keep_fp32=False`` each shard holds only 1/4 of the
+    fp32 footprint (the memory knob that lets a catalog 4x too big for
+    the slice still be scanned)."""
+    from hm_retrieval_tpu.indices.quantized import quantize_rows
+
+    S = mesh.shape[MODEL_AXIS]
+    n = embeddings.shape[0]
+    per = -(-n // S)
+    total = per * S
+    emb = np.zeros((total, embeddings.shape[1]), np.float32)
+    emb[:n] = embeddings
+    ids = np.zeros((total,), np.int32)
+    ids[:n] = identifiers
+    bias = np.zeros((total,), np.float32)
+    bias[n:] = -np.inf
+    codes, scales = quantize_rows(emb)
+    scales[n:] = 0.0  # pad rows contribute nothing pre-bias
+
+    row_shard = NamedSharding(mesh, P(MODEL_AXIS, None))
+    vec_shard = NamedSharding(mesh, P(MODEL_AXIS))
+    return (
+        jax.device_put(codes, row_shard),
+        jax.device_put(scales, vec_shard),
+        jax.device_put(emb, row_shard) if keep_fp32 else None,
+        jax.device_put(ids, vec_shard),
+        jax.device_put(bias, vec_shard),
+    )
+
+
+def make_distributed_quantized_topk(
+    mesh,
+    k: int,
+    oversample: int = 4,
+    recall_target: float = 0.95,
+    rescore: bool = True,
+):
+    """Returns topk(queries, codes, scales, emb_or_None, ids, bias) ->
+    ((B, k) scores, (B, k) ids) over shards placed by
+    ``shard_candidates_quantized``.
+
+    Per shard: int8 x int8 MXU scan -> hardware-PartialReduce
+    oversample -> (optional) exact fp32 rescore of the local survivors;
+    then one all-gather of the (B, k) per-shard leaderboards and a
+    k-way merge. Communication stays O(S * B * k). Because each shard
+    rescores its own winners in fp32 BEFORE the merge, the merged
+    ordering is exact over the union of surviving rows — quantization
+    only decides which rows survive per shard."""
+
+    def local(queries, codes_shard, scales_shard, emb_shard,
+              ids_shard, bias_shard):
+        n_local = codes_shard.shape[0]
+        kk = min(k, n_local)
+        k_over = min(max(oversample * kk, kk), n_local)
+
+        q = queries.astype(jnp.float32)
+        t = jnp.max(jnp.abs(q), axis=1, keepdims=True) / 127.0
+        t = jnp.maximum(t, jnp.float32(1e-30))
+        qq = jnp.clip(jnp.rint(q / t), -127, 127).astype(jnp.int8)
+
+        iscores = jax.lax.dot_general(
+            qq,
+            codes_shard,
+            (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )  # (B, n_local)
+        s = (
+            iscores.astype(jnp.float32) * scales_shard[None, :]
+            + bias_shard[None, :]
+        )
+        cs, ci = jax.lax.approx_max_k(
+            s, k_over, recall_target=recall_target
+        )
+        if emb_shard is not None:
+            rows = jnp.take(emb_shard, ci, axis=0)  # (B, k_over, E)
+            exact = jnp.einsum(
+                "be,bke->bk",
+                q,
+                rows,
+                preferred_element_type=jnp.float32,
+            ) + jnp.take(bias_shard, ci)
+            ls, sel = jax.lax.top_k(exact, kk)
+            li = jnp.take_along_axis(ci, sel, axis=1)
+        else:
+            ls = cs[:, :kk] * t  # back to true score scale
+            li = ci[:, :kk]
+        lids = jnp.take(ids_shard, li, axis=0)
+
+        all_s = jax.lax.all_gather(ls, MODEL_AXIS)
+        all_i = jax.lax.all_gather(lids, MODEL_AXIS)
+        S, B, _ = all_s.shape
+        flat_s = jnp.transpose(all_s, (1, 0, 2)).reshape(B, S * kk)
+        flat_i = jnp.transpose(all_i, (1, 0, 2)).reshape(B, S * kk)
+        ms, sel = jax.lax.top_k(flat_s, k)
+        return ms, jnp.take_along_axis(flat_i, sel, axis=1)
+
+    def topk(queries, codes, scales, emb, ids, bias):
+        if emb is None:
+            fn = shard_map(
+                lambda q, c, s, i, b: local(q, c, s, None, i, b),
+                mesh=mesh,
+                in_specs=(
+                    P(),
+                    P(MODEL_AXIS, None),
+                    P(MODEL_AXIS),
+                    P(MODEL_AXIS),
+                    P(MODEL_AXIS),
+                ),
+                out_specs=(P(), P()),
+                check_vma=False,
+            )
+            return fn(queries, codes, scales, ids, bias)
+        fn = shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(
+                P(),
+                P(MODEL_AXIS, None),
+                P(MODEL_AXIS),
+                P(MODEL_AXIS, None),
+                P(MODEL_AXIS),
+                P(MODEL_AXIS),
+            ),
+            out_specs=(P(), P()),
+            check_vma=False,
+        )
+        return fn(queries, codes, scales, emb, ids, bias)
+
+    return topk

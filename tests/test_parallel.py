@@ -321,3 +321,73 @@ class TestDistributedTopk:
         s, got = jax.jit(topk)(jnp.asarray(q), semb, sids, sbias)
         assert set(np.asarray(got).ravel()) == set(ids)
         assert np.isfinite(np.asarray(s)).all()
+
+
+class TestDistributedQuantizedTopk:
+    @pytest.mark.parametrize("keep_fp32", [True, False])
+    def test_matches_single_device(self, rng, keep_fp32):
+        from hm_retrieval_tpu.parallel.distributed_topk import (
+            make_distributed_quantized_topk,
+            shard_candidates_quantized,
+        )
+
+        mesh = make_mesh(data=1, model=8)
+        N, E, B, k = 1000, 16, 8, 10  # N % 8 != 0 -> padding
+        emb = rng.normal(size=(N, E)).astype(np.float32)
+        ids = np.arange(1, N + 1, dtype=np.int32)
+        q = rng.normal(size=(B, E)).astype(np.float32)
+
+        _, i_ref = topk_dot(jnp.asarray(q), jnp.asarray(emb), k)
+        ids_ref = ids[np.asarray(i_ref)]
+
+        placed = shard_candidates_quantized(
+            emb, ids, mesh, keep_fp32=keep_fp32
+        )
+        topk = make_distributed_quantized_topk(mesh, k)
+        s, got = topk(jnp.asarray(q), *placed)
+        got = np.asarray(got)
+        hits = sum(
+            len(set(a.tolist()) & set(b.tolist()))
+            for a, b in zip(got, ids_ref)
+        )
+        # int8 + oversample: near-exact; exact rescore when fp32 kept
+        assert hits / ids_ref.size >= (0.99 if keep_fp32 else 0.95)
+        assert np.isfinite(np.asarray(s)).all()
+
+    def test_padding_never_selected(self, rng):
+        from hm_retrieval_tpu.parallel.distributed_topk import (
+            make_distributed_quantized_topk,
+            shard_candidates_quantized,
+        )
+
+        mesh = make_mesh(data=1, model=8)
+        N, E, k = 12, 4, 12  # heavy padding per shard
+        emb = rng.normal(size=(N, E)).astype(np.float32)
+        ids = np.arange(1, N + 1, dtype=np.int32)
+        q = np.zeros((3, E), np.float32)
+        placed = shard_candidates_quantized(emb, ids, mesh)
+        topk = make_distributed_quantized_topk(mesh, k)
+        s, got = topk(jnp.asarray(q), *placed)
+        assert set(np.asarray(got).ravel()) == set(ids)
+        assert np.isfinite(np.asarray(s)).all()
+
+    def test_rescored_scores_are_exact(self, rng):
+        """With fp32 shards kept, returned scores equal the true dot
+        products of the returned ids."""
+        from hm_retrieval_tpu.parallel.distributed_topk import (
+            make_distributed_quantized_topk,
+            shard_candidates_quantized,
+        )
+
+        mesh = make_mesh(data=1, model=8)
+        N, E, B, k = 256, 8, 4, 5
+        emb = rng.normal(size=(N, E)).astype(np.float32)
+        ids = np.arange(1, N + 1, dtype=np.int32)
+        q = rng.normal(size=(B, E)).astype(np.float32)
+        placed = shard_candidates_quantized(emb, ids, mesh)
+        topk = make_distributed_quantized_topk(mesh, k)
+        s, got = topk(jnp.asarray(q), *placed)
+        s, got = np.asarray(s), np.asarray(got)
+        for b in range(B):
+            want = np.array([q[b] @ emb[i - 1] for i in got[b]])
+            np.testing.assert_allclose(s[b], want, rtol=1e-5, atol=1e-5)
