@@ -1,15 +1,19 @@
-"""Measure the int8 quantized scan index vs the exact paths on TPU.
+"""Measure the int8 quantized scan index vs the exact Pallas path on TPU.
 
 Usage: timeout 1800 python benchmarks/measure_quantized_index.py
 Per (N, method): ms/batch, queries/s, and top-k recall vs the exact
-oracle on one batch. Timing loops run on device (lax.scan) with input
-variation per iteration (see CLAUDE.md tunnel notes).
+oracle on one batch. All catalogs are synthesized ON DEVICE (a 512MB
+fp32 catalog would take minutes to round-trip through the relay
+tunnel), and every array reaches jit as an EXPLICIT argument — closure-
+captured device arrays get serialized into the remote-compile HTTP
+request and blow its length limit (HTTP 413) at large N.
 """
 
 import json
 import os
 import sys
 import time
+from functools import partial
 
 sys.path.insert(
     0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -23,30 +27,75 @@ jax.config.update("jax_compilation_cache_dir", ".jax_cache")
 import jax.numpy as jnp
 import numpy as np
 
-from hm_retrieval_tpu.indices.brute_force import BruteForceIndex
 from hm_retrieval_tpu.indices.quantized import QuantizedIndex
+from hm_retrieval_tpu.ops.pallas_retrieval import pallas_exact_topk
 
 B, E, K = 1024, 128, 100
+CHUNK = 65536
+K_OVER = 4 * K
 ITERS = 100
 
 
-def time_index(topk_fn, q, iters=ITERS):
+@jax.jit
+def quantize_on_device(c):
+    scales = jnp.max(jnp.abs(c), axis=1) / 127.0
+    scales = jnp.where(scales > 0, scales, 1.0)
+    codes = jnp.clip(
+        jnp.rint(c / scales[:, None]), -127, 127
+    ).astype(jnp.int8)
+    return codes, scales.astype(jnp.float32)
+
+
+def make_fns(n):
+    ids = jnp.arange(1, n + 1, dtype=jnp.int32)
+    zeros = jnp.zeros((n,), jnp.float32)
+
+    def exact(q, arrays):
+        c, _, _ = arrays
+        v, idx, _ = pallas_exact_topk(q, c, K, keep_per_bin=2)
+        return v, idx + 1  # ids are 1-based row numbers
+
+    def quant(q, arrays, rescore):
+        c, codes, scales = arrays
+        return QuantizedIndex._topk(
+            q,
+            codes,
+            scales,
+            zeros,
+            ids,
+            c if rescore else None,
+            K,
+            K_OVER,
+            CHUNK,
+            0.95,
+        )
+
+    return {
+        "pallas_exact": exact,
+        "quantized_rescore": partial(quant, rescore=True),
+        "quantized_noscore": partial(quant, rescore=False),
+    }
+
+
+def time_fn(fn, q, arrays, iters=ITERS):
     @jax.jit
-    def run(q):
+    def run(q, arrays):
         def body(acc, i):
             qq = jnp.roll(q, i, axis=0)
-            s, ids = topk_fn(qq)
-            return acc + s[0, 0] + ids[0, 0].astype(jnp.float32), None
+            s, out_ids = fn(qq, arrays)
+            return (
+                acc + s[0, 0] + out_ids[0, 0].astype(jnp.float32),
+                None,
+            )
 
         acc, _ = jax.lax.scan(body, 0.0, jnp.arange(iters))
         return acc
 
-    acc = run(q)
-    jax.block_until_ready(acc)  # compile + warm
+    jax.block_until_ready(run(q, arrays))  # compile + warm
     dt = float("inf")
     for _ in range(2):
         t0 = time.time()
-        jax.block_until_ready(run(q))
+        jax.block_until_ready(run(q, arrays))
         dt = min(dt, (time.time() - t0) / iters)
     return dt
 
@@ -63,10 +112,9 @@ def recall_vs(want_ids, got_ids):
 def main():
     print(f"backend: {jax.default_backend()}", flush=True)
     for N in (131072, 1048576):
-        key = jax.random.PRNGKey(0)
         c = jax.jit(
-            lambda key=key, N=N: jax.random.normal(
-                key, (N, E), jnp.float32
+            lambda N=N: jax.random.normal(
+                jax.random.PRNGKey(0), (N, E), jnp.float32
             )
         )()
         q = jax.jit(
@@ -74,37 +122,24 @@ def main():
                 jax.random.PRNGKey(1), (B, E), jnp.float32
             )
         )()
-        ids = np.arange(1, N + 1, dtype=np.int32)
-        jax.block_until_ready((q, c))
-        c_host = np.asarray(c)
+        codes, scales = quantize_on_device(c)
+        jax.block_until_ready((q, c, codes, scales))
+        arrays = (c, codes, scales)
 
-        exact = BruteForceIndex(K, ids, c_host, method="pallas")
-        _, want = exact.topk_from_embeddings(q)
-        rows = []
-        for name, idx in [
-            ("pallas_exact", exact),
-            (
-                "quantized_rescore",
-                QuantizedIndex(K, ids, c_host, rescore=True),
-            ),
-            (
-                "quantized_noscore",
-                QuantizedIndex(K, ids, c_host, rescore=False),
-            ),
-        ]:
-            dt = time_index(idx.topk_from_embeddings, q)
-            _, got = idx.topk_from_embeddings(q)
-            r = recall_vs(want, got)
+        fns = make_fns(N)
+        _, want = jax.jit(fns["pallas_exact"])(q, arrays)
+        for name, fn in fns.items():
+            dt = time_fn(fn, q, arrays)
+            _, got = jax.jit(fn)(q, arrays)
             row = {
                 "N": N,
                 "method": name,
                 "ms_per_batch": round(dt * 1e3, 3),
                 "queries_per_s": round(B / dt),
-                "recall_vs_exact": round(r, 4),
+                "recall_vs_exact": round(recall_vs(want, got), 4),
             }
-            rows.append(row)
             print(json.dumps(row), flush=True)
-        del exact, c, c_host
+        del c, codes, scales, arrays
 
 
 if __name__ == "__main__":

@@ -71,6 +71,36 @@ class ShardDataset:
         self.feature_dtypes: Dict[str, str] = self.manifest["features"]
 
     # ------------------------------------------------------------------
+    def _read_shards(
+        self, order, num_reader_threads: int
+    ) -> Iterator[Batch]:
+        """Yield shard dicts in ``order``, reading up to
+        ``num_reader_threads`` files ahead with a thread pool."""
+
+        def read(si) -> Batch:
+            with np.load(self.shard_paths[si]) as z:
+                return {k: z[k] for k in z.files}
+
+        if num_reader_threads <= 0 or len(order) <= 1:
+            for si in order:
+                yield read(si)
+            return
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(num_reader_threads) as pool:
+            pending = []
+            order = list(order)
+            for si in order[:num_reader_threads]:
+                pending.append(pool.submit(read, si))
+            nxt = num_reader_threads
+            while pending:
+                fut = pending.pop(0)
+                if nxt < len(order):
+                    pending.append(pool.submit(read, order[nxt]))
+                    nxt += 1
+                yield fut.result()
+
+    # ------------------------------------------------------------------
     def load_all(self) -> Batch:
         """Materialize every column (used for candidate catalogs, which are
         small; the reference does the same eager materialization for its
@@ -87,6 +117,7 @@ class ShardDataset:
         shuffle_buffer_size: int = 0,
         seed: Optional[int] = None,
         drop_remainder: bool = False,
+        num_reader_threads: int = 2,
     ) -> Iterator[Batch]:
         """Stream fixed-size batches.
 
@@ -94,6 +125,12 @@ class ShardDataset:
         then rows are permuted within a rolling buffer of
         ``>= shuffle_buffer_size`` rows (chunk-granular analog of tf.data's
         reservoir shuffle, ref: tfrecord_dataset.py:90-97).
+
+        ``num_reader_threads``: shard files are read ``num_reader_threads``
+        ahead by a small thread pool (np.load releases the GIL for file
+        IO), overlapping disk reads with batch assembly so the input
+        pipeline keeps up with the TPU step rate (SURVEY §7 hard part #6).
+        0 reads synchronously.
         """
         # shuffling without an explicit seed still shuffles (fresh
         # entropy) — it must never silently degrade to written order
@@ -125,8 +162,7 @@ class ShardDataset:
         chunk: List[Batch] = []
         chunk_rows = 0
         target = max(shuffle_buffer_size, batch_size)
-        for si in order:
-            shard = dict(np.load(self.shard_paths[si]))
+        for shard in self._read_shards(order, num_reader_threads):
             chunk.append(shard)
             chunk_rows += len(next(iter(shard.values())))
             if chunk_rows >= target:

@@ -123,6 +123,35 @@ class TestShardDataset:
             expect = np.where(idx % 4 == 3, 0, (idx % 4) + 1)
             np.testing.assert_array_equal(b["uid"], expect)
 
+
+    def test_reader_threads_identical_stream(
+        self, features, tmp_path
+    ):
+        """Parallel shard reading must not change the emitted batch
+        stream (same order, same rows) for any thread count."""
+        ShardWriter(features, max_rows=4).write_shards(
+            make_df(22), str(tmp_path)
+        )
+        ds = ShardDataset(str(tmp_path))
+
+        def stream(threads):
+            return list(
+                ds.iter_batches(
+                    batch_size=5,
+                    shuffle_buffer_size=8,
+                    seed=3,
+                    num_reader_threads=threads,
+                )
+            )
+
+        want = stream(0)
+        for threads in (1, 2, 4):
+            got = stream(threads)
+            assert len(got) == len(want)
+            for a, b in zip(got, want):
+                np.testing.assert_array_equal(a["age"], b["age"])
+                np.testing.assert_array_equal(a["uid"], b["uid"])
+
     def test_missing_dir_raises(self, tmp_path):
         with pytest.raises(FileNotFoundError):
             ShardDataset(str(tmp_path / "nope"))
