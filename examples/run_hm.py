@@ -71,6 +71,13 @@ def main():
         "model axis (e.g. customer_id,article_id; needs "
         "--mesh-model > 1)",
     )
+    ap.add_argument(
+        "--index-type",
+        choices=["brute_force", "quantized"],
+        default="brute_force",
+        help="retrieval index family: exact brute force (reference "
+        "behavior) or the int8 quantized scan",
+    )
     args = ap.parse_args()
     stages = set(args.stages.split(","))
     unknown = stages - {"etl", "schema", "shards", "model", "baseline"}
@@ -189,6 +196,7 @@ def main():
         model_config=ModelConfig(
             joint_embedding_size=128,
             ks=[10, 100, 1000],  # ref: main.py:107
+            index_type=args.index_type,
         ),
         training_config=TrainingConfig(
             train_batch_size=512,  # ref: main.py:98

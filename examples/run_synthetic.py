@@ -49,6 +49,13 @@ def main():
         help="extra uniform negatives per step (BASELINE config[4])",
     )
     ap.add_argument(
+        "--index-type",
+        choices=["brute_force", "quantized"],
+        default="brute_force",
+        help="retrieval index family: exact brute force or the int8 "
+        "quantized scan (indices/quantized.py)",
+    )
+    ap.add_argument(
         "--export-savedmodel",
         action="store_true",
         help="also export the TF-Serving SavedModel deployment "
@@ -183,6 +190,7 @@ def main():
             ks=[10, 100],
             query_tower_units=[128],
             candidate_tower_units=[128],
+            index_type=args.index_type,
         ),
         training_config=TrainingConfig(
             train_batch_size=args.batch_size,

@@ -285,6 +285,12 @@ class QuantizedIndex:
                 rows,
                 preferred_element_type=jnp.float32,
             ) + jnp.take(score_bias, top_i)
+            # Never resurrect invalid survivor slots: when the catalog
+            # has fewer finite rows than k_over, top_k tie-breaks fill
+            # the tail with the scan's -inf init entries, whose index 0
+            # aliases a REAL row — rescoring it to a real score would
+            # crowd the true top-k out with duplicates.
+            exact = jnp.where(jnp.isneginf(top_s), -jnp.inf, exact)
             top_s, sel = jax.lax.top_k(exact, k)
             top_i = jnp.take_along_axis(top_i, sel, axis=1)
         else:

@@ -175,6 +175,31 @@ class TestQuantizedIndex:
             >= 0.99
         )
 
+
+    def test_exact_when_k_over_exceeds_catalog(self, rng):
+        """When oversample*k exceeds the real catalog, every real row
+        survives and the rescore must return the EXACT top-k — the
+        -inf init/tie slots must never resurface as duplicate real
+        rows (regression: ReLU towers + small catalogs returned
+        duplicated row 0 and collapsed Recall@100 to Recall@10)."""
+        emb = np.maximum(
+            rng.normal(size=(300, 64)), 0
+        ).astype(np.float32)
+        q = np.maximum(
+            rng.normal(size=(20, 64)), 0
+        ).astype(np.float32)
+        ids = np.arange(1, 301, dtype=np.int32)
+        oracle = BruteForceIndex(100, ids, emb, method="full")
+        _, want = oracle.topk_from_embeddings(jnp.asarray(q))
+        idx = QuantizedIndex(100, ids, emb)  # k_over=400 > 300
+        _, got = idx.topk_from_embeddings(jnp.asarray(q))
+        got = np.asarray(got)
+        for row in got:
+            assert len(set(row.tolist())) == 100  # no duplicates
+        assert (
+            recall_vs_oracle(got, np.asarray(want)) == 1.0
+        )  # all real rows survive -> rescore is fully exact
+
     def test_load_index_dispatch(self, rng, tmp_path):
         from hm_retrieval_tpu.indices import load_index
 
