@@ -197,10 +197,13 @@ def bench_training(
     gen = jax.jit(batches_for)
     data0 = gen(jax.random.PRNGKey(0))
     data1 = gen(jax.random.PRNGKey(1))
-    jax.block_until_ready((data0, data1))
+    # value-fetch sync: through the relay, block_until_ready can return
+    # before execution finishes (CLAUDE.md timing note), which would let
+    # the timed run below start while this one is still in flight
+    float(jax.tree_util.tree_leaves(data1)[0][0, 0])
     t0 = time.time()
     state, loss = run(state, data0)
-    jax.block_until_ready(loss)
+    float(loss)
     first = time.time() - t0
     t0 = time.time()
     state, loss = run(state, data1)

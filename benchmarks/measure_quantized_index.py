@@ -28,7 +28,10 @@ import jax.numpy as jnp
 import numpy as np
 
 from hm_retrieval_tpu.indices.quantized import QuantizedIndex
-from hm_retrieval_tpu.ops.pallas_retrieval import pallas_exact_topk
+from hm_retrieval_tpu.ops.pallas_retrieval import (
+    pallas_exact_topk,
+    pallas_quantized_topk,
+)
 
 B, E, K = 1024, 128, 100
 CHUNK = 65536
@@ -70,10 +73,32 @@ def make_fns(n):
             0.95,
         )
 
+    def pquant(q, arrays, rescore):
+        """Fused int8 Pallas scan (catalog streams as int8) + optional
+        fp32 rescore of the k_over survivors."""
+        c, codes, scales = arrays
+        kk = K_OVER if rescore else K
+        v, idx, _ = pallas_quantized_topk(q, codes, scales, kk)
+        if rescore:
+            rows = jnp.take(c, idx, axis=0)
+            exact = jnp.einsum(
+                "be,bke->bk",
+                q,
+                rows,
+                preferred_element_type=jnp.float32,
+            )
+            v, sel = jax.lax.top_k(exact, K)
+            idx = jnp.take_along_axis(idx, sel, axis=1)
+        else:
+            v, idx = v[:, :K], idx[:, :K]
+        return v, idx + 1
+
     return {
         "pallas_exact": exact,
         "quantized_rescore": partial(quant, rescore=True),
         "quantized_noscore": partial(quant, rescore=False),
+        "pallas_quant_rescore": partial(pquant, rescore=True),
+        "pallas_quant_noscore": partial(pquant, rescore=False),
     }
 
 
@@ -94,11 +119,14 @@ def time_fn(fn, q, arrays, iters=ITERS):
         acc, _ = jax.lax.scan(body, 0.0, jnp.arange(iters))
         return acc
 
-    jax.block_until_ready(run(q, arrays, jnp.int32(0)))  # compile
+    # float() forces a VALUE fetch: through the relay tunnel,
+    # block_until_ready alone can return before execution finishes
+    # (observed 8us "runs" of a multi-ms scan).
+    float(run(q, arrays, jnp.int32(0)))  # compile + warm
     dt = float("inf")
     for salt in (1, 2):
         t0 = time.time()
-        jax.block_until_ready(run(q, arrays, jnp.int32(salt)))
+        float(run(q, arrays, jnp.int32(salt)))
         dt = min(dt, (time.time() - t0) / iters)
     return dt
 

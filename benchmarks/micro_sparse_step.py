@@ -19,6 +19,7 @@ os.makedirs(".jax_cache", exist_ok=True)
 jax.config.update("jax_compilation_cache_dir", ".jax_cache")
 
 import jax.numpy as jnp
+import numpy as np
 
 import bench
 from hm_retrieval_tpu.models import OptimizerFactory
@@ -32,14 +33,22 @@ B = 512
 ITERS = 200
 
 
+def _sync(out):
+    """Force a VALUE fetch: through the relay tunnel
+    block_until_ready can return before execution finishes
+    (CLAUDE.md timing note)."""
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    np.asarray(leaf).ravel()[:1]
+
+
 def timed(name, fn, *args):
     out = jax.jit(fn)(*args)
-    jax.block_until_ready(out)
+    _sync(out)
     best = float("inf")
     for _ in range(2):
         t0 = time.time()
         out = jax.jit(fn)(*args)
-        jax.block_until_ready(out)
+        _sync(out)
         best = min(best, (time.time() - t0) / ITERS)
     print(f"{name:28s} {best*1e6:9.1f} us/iter")
 

@@ -10,10 +10,13 @@ real bottleneck, HBM bandwidth:
 
 1. store the catalog as symmetric per-row int8 (4x less HBM traffic
    than fp32; the MXU multiplies int8 natively);
-2. stream the catalog in fixed chunks: int8 x int8 -> int32 matmul,
-   rescale to fp32, keep an oversampled per-chunk top-k'
-   (``lax.approx_max_k`` — the hardware PartialReduce) merged across
-   chunks on device;
+2. stream the catalog once, selecting an oversampled top-k' of the
+   dequantized scores — either the fused Pallas bin-max kernel reading
+   the catalog AS int8 and dequantizing in VMEM
+   (``ops/pallas_retrieval.py::pallas_quantized_topk``, the TPU
+   default: exact-kernel speed at 1/4 the HBM bytes), or an XLA scan
+   of int8 x int8 -> int32 chunk matmuls with per-chunk
+   ``lax.approx_max_k`` merges (the portable fallback);
 3. optionally re-score the k' survivors against the fp32 rows and take
    the exact top-k among them, so quantization affects only which rows
    *reach* the rescore, not their final ordering.
@@ -46,6 +49,23 @@ Batch = Dict[str, jax.Array]
 
 def _pad_to_multiple(n: int, m: int) -> int:
     return ((n + m - 1) // m) * m
+
+
+def _resolve_method(method: str, k_eff: int, dim: int) -> str:
+    """Resolve "auto": pallas on TPU when the survivor count fits a
+    feasible bin layout (k_eff <= L within the VMEM budget), else the
+    portable XLA scan."""
+    if method != "auto":
+        return method
+    if jax.default_backend() != "tpu":
+        return "scan"
+    from hm_retrieval_tpu.ops.pallas_retrieval import (
+        DEFAULT_Q_BLOCK,
+        pick_bins,
+    )
+
+    feasible = pick_bins(DEFAULT_Q_BLOCK, dim, k_eff, 2)
+    return "pallas" if feasible is not None else "scan"
 
 
 def quantize_rows(embeddings: np.ndarray):
@@ -81,7 +101,13 @@ class QuantizedIndex:
         memory at ``B * chunk`` fp32).
     recall_target:
         Per-chunk ``approx_max_k`` recall target for the oversampled
-        candidate set.
+        candidate set (scan method only).
+    method:
+        Survivor-selection engine. "pallas" streams the int8 catalog
+        through the fused bin-max kernel (exact top-k' of the
+        dequantized scores, bf16 queries); "scan" is the XLA
+        chunked int8 x int8 scan (portable, quantized queries);
+        "auto" picks pallas on TPU, scan elsewhere.
     """
 
     PAD_MULTIPLE = 1024
@@ -95,6 +121,7 @@ class QuantizedIndex:
         rescore: bool = True,
         chunk: int = 65536,
         recall_target: float = 0.95,
+        method: str = "auto",
     ):
         if k <= 0:
             raise ValueError("k must be positive")
@@ -102,6 +129,8 @@ class QuantizedIndex:
             raise ValueError("oversample must be >= 1")
         if not 0.0 < recall_target <= 1.0:
             raise ValueError("recall_target must be in (0, 1]")
+        if method not in ("auto", "scan", "pallas"):
+            raise ValueError(f"unknown method {method!r}")
         identifiers = np.asarray(identifiers)
         embeddings = np.asarray(embeddings, np.float32)
         if identifiers.ndim != 1 or embeddings.ndim != 2:
@@ -137,6 +166,14 @@ class QuantizedIndex:
         n_pad = _pad_to_multiple(self.num_candidates, self.chunk)
         self.k_over = int(
             min(max(self.oversample * self.k, self.k), self.chunk)
+        )
+        k_eff = (
+            min(self.k_over, self.num_candidates)
+            if self.rescore
+            else self.k
+        )
+        self.method = _resolve_method(
+            method, k_eff, embeddings.shape[1]
         )
 
         codes, scales = quantize_rows(embeddings)
@@ -299,8 +336,67 @@ class QuantizedIndex:
             top_i = top_i[:, :k]
         return top_s, jnp.take(identifiers, top_i)
 
+    @staticmethod
+    @partial(jax.jit, static_argnames=("k", "k_over", "n_valid"))
+    def _topk_pallas(
+        query_embeddings,  # (B, E) fp32
+        codes,             # (N_pad, E) int8
+        scales,            # (N_pad,)
+        identifiers,       # (N_pad,)
+        fp32_embeddings,   # (N_pad, E) or None
+        k,
+        k_over,
+        n_valid,
+    ):
+        """Fused-kernel survivor selection: exact top-k_over of the
+        dequantized scores via pallas_quantized_topk (the catalog
+        streams from HBM as int8), then the usual fp32 rescore."""
+        from hm_retrieval_tpu.ops.pallas_retrieval import (
+            pallas_quantized_topk,
+        )
+
+        q = query_embeddings.astype(jnp.float32)
+        kk = k_over if fp32_embeddings is not None else k
+        top_s, top_i, _ = pallas_quantized_topk(
+            q,
+            codes,
+            scales,
+            kk,
+            n_valid=n_valid,
+            # interpret off-TPU: slow but correct, keeps the method
+            # testable on the fake CPU mesh
+            interpret=jax.default_backend() != "tpu",
+        )
+        if fp32_embeddings is not None:
+            rows = jnp.take(fp32_embeddings, top_i, axis=0)
+            exact = jnp.einsum(
+                "be,bke->bk",
+                q,
+                rows,
+                preferred_element_type=jnp.float32,
+            )
+            # n_valid >= kk guarantees every survivor slot is a real
+            # row (round 1 always reveals >= min(n_valid, 2L) distinct
+            # valid elements), so no -inf resurrection case here; the
+            # guard keeps the invariant explicit anyway.
+            exact = jnp.where(jnp.isneginf(top_s), -jnp.inf, exact)
+            top_s, sel = jax.lax.top_k(exact, k)
+            top_i = jnp.take_along_axis(top_i, sel, axis=1)
+        return top_s, jnp.take(identifiers, top_i)
+
     def topk_from_embeddings(self, query_embeddings: jax.Array):
         """(B, E) query embeddings -> ((B, k) scores, (B, k) int ids)."""
+        if self.method == "pallas":
+            return self._topk_pallas(
+                query_embeddings,
+                self.codes,
+                self.scales,
+                self.identifiers,
+                self.embeddings,
+                self.k,
+                min(self.k_over, self.num_candidates),
+                self.num_candidates,
+            )
         return self._topk(
             query_embeddings,
             self.codes,
@@ -351,6 +447,7 @@ class QuantizedIndex:
                     "rescore": self.rescore,
                     "chunk": self.chunk,
                     "recall_target": self.recall_target,
+                    "method": self.method,
                 },
                 f,
             )
@@ -360,6 +457,18 @@ class QuantizedIndex:
     def load(cls, dirpath: str) -> "QuantizedIndex":
         with open(os.path.join(dirpath, "meta.json")) as f:
             meta = json.load(f)
+        # Honor the saved survivor-selection method; remap pallas off
+        # TPU (interpret mode would be correct but impractically slow
+        # for a serving-size catalog).
+        method = meta.get("method", "auto")
+        if method == "pallas" and jax.default_backend() != "tpu":
+            logger.warning(
+                "Quantized index at %s was saved with method='pallas' "
+                "but the current backend is %s; using 'scan'",
+                dirpath,
+                jax.default_backend(),
+            )
+            method = "scan"
         with np.load(os.path.join(dirpath, "index.npz")) as z:
             rescore = meta.get("rescore", True)
             if rescore and "embeddings" in z:
@@ -371,6 +480,7 @@ class QuantizedIndex:
                     rescore=True,
                     chunk=meta.get("chunk", 65536),
                     recall_target=meta.get("recall_target", 0.95),
+                    method=method,
                 )
                 # Preserve the exact saved codes (round-trip identity
                 # regardless of requantization drift).
@@ -403,6 +513,9 @@ class QuantizedIndex:
             )
             idx.k_over = int(
                 min(max(idx.oversample * idx.k, idx.k), idx.chunk)
+            )
+            idx.method = _resolve_method(
+                method, idx.k, codes.shape[1]
             )
             codes_p = np.zeros(
                 (n_pad, codes.shape[1]), np.int8

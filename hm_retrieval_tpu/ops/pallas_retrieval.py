@@ -189,6 +189,129 @@ def _bin_max2_kernel(
     a2_ref[:] = jnp.where(gt1, a1, jnp.where(gt2, flat, a2))
 
 
+def _bin_max2_scaled_kernel(
+    q_ref,      # (B, E) VMEM, resident (compute dtype)
+    c_ref,      # (L, E) VMEM, current chunk — int8 codes
+    s_ref,      # (1, L) VMEM: per-row dequantization scales
+    b_ref,      # (1, L) VMEM: per-row additive score bias (0 / -inf)
+    thr_s_ref,  # (B, L)
+    thr_i_ref,  # (B, L)
+    m1_ref,
+    a1_ref,
+    m2_ref,
+    a2_ref,
+    *,
+    L: int,
+    n_valid: int,
+):
+    """Int8-catalog variant of _bin_max2_kernel: the chunk streams from
+    HBM as int8 (4x less traffic than fp32, 2x less than bf16) and is
+    dequantized to the query's compute dtype in VMEM; scores are the
+    dequantized-catalog dot products (score = (codes*scale) . q + bias,
+    applied as a column rescale after the MXU). The bias row carries
+    -inf for rows a caller must exclude when a static n_valid cannot
+    express the mask (per-shard pad rows under SPMD)."""
+    c = pl.program_id(0)
+
+    @pl.when(c == 0)
+    def _():
+        m1_ref[:] = jnp.full(m1_ref.shape, NEG_INF, m1_ref.dtype)
+        a1_ref[:] = jnp.full(a1_ref.shape, BIG_IDX, a1_ref.dtype)
+        m2_ref[:] = jnp.full(m2_ref.shape, NEG_INF, m2_ref.dtype)
+        a2_ref[:] = jnp.full(a2_ref.shape, BIG_IDX, a2_ref.dtype)
+
+    codes = c_ref[:].astype(q_ref.dtype)  # VMEM dequant, VPU convert
+    scores = (
+        jnp.dot(
+            q_ref[:], codes.T, preferred_element_type=jnp.float32
+        )
+        * s_ref[0, :][None, :]
+        + b_ref[0, :][None, :]
+    )
+    B = scores.shape[0]
+    col = jax.lax.broadcasted_iota(jnp.int32, (B, L), 1)
+    flat = col + c * L
+
+    thr_s = thr_s_ref[:]
+    thr_i = thr_i_ref[:]
+    elig = (scores < thr_s) | (
+        (scores == thr_s) & (flat > thr_i)
+    )
+    valid = flat < n_valid
+    s = jnp.where(elig & valid, scores, NEG_INF)
+
+    m1, a1 = m1_ref[:], a1_ref[:]
+    m2, a2 = m2_ref[:], a2_ref[:]
+    gt1 = s > m1
+    gt2 = s > m2
+    m1_ref[:] = jnp.where(gt1, s, m1)
+    a1_ref[:] = jnp.where(gt1, flat, a1)
+    m2_ref[:] = jnp.where(gt1, m1, jnp.where(gt2, s, m2))
+    a2_ref[:] = jnp.where(gt1, a1, jnp.where(gt2, flat, a2))
+
+
+@functools.partial(
+    jax.jit, static_argnames=("L", "n_valid", "interpret")
+)
+def bin_max2_scaled_round(
+    q: jax.Array,        # (B, E) compute dtype
+    codes_padded: jax.Array,  # (N_pad, E) int8, N_pad % L == 0
+    scales_row: jax.Array,    # (1, N_pad) fp32
+    bias_row: jax.Array,      # (1, N_pad) fp32 (0 / -inf)
+    thr_s: jax.Array,
+    thr_i: jax.Array,
+    L: int,
+    n_valid: int,
+    interpret: bool = False,
+):
+    """One streaming pass over the int8 catalog (top-2 per bin).
+
+    Scales/bias are (1, N_pad) row vectors blocked along the LAST axis:
+    Mosaic requires a block's second-to-last dim to equal the array's
+    (a (1, L) block of an (n_chunks, L) array is rejected)."""
+    B, E = q.shape
+    n_pad = codes_padded.shape[0]
+    assert n_pad % L == 0
+    grid = (n_pad // L,)
+    bl = lambda c: (0, 0)  # noqa: E731
+    return pl.pallas_call(
+        functools.partial(
+            _bin_max2_scaled_kernel, L=L, n_valid=n_valid
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((B, E), bl, memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (L, E), lambda c: (c, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, L), lambda c: (0, c), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, L), lambda c: (0, c), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec((B, L), bl, memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, L), bl, memory_space=pltpu.VMEM),
+        ],
+        out_specs=tuple(
+            pl.BlockSpec((B, L), bl, memory_space=pltpu.VMEM)
+            for _ in range(4)
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, L), jnp.float32),
+            jax.ShapeDtypeStruct((B, L), jnp.int32),
+            jax.ShapeDtypeStruct((B, L), jnp.float32),
+            jax.ShapeDtypeStruct((B, L), jnp.int32),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * n_pad * E,
+            bytes_accessed=n_pad * E + 6 * B * L * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(q, codes_padded, scales_row, bias_row, thr_s, thr_i)
+
+
 @functools.partial(
     jax.jit, static_argnames=("L", "n_valid", "interpret")
 )
@@ -299,16 +422,24 @@ def bin_max_round(
 
 def _topk_rounds(
     queries: jax.Array,   # (B_blk, E), already compute_dtype
-    c_padded: jax.Array,  # (N_pad, E), already compute_dtype
+    c_padded: jax.Array,  # (N_pad, E) compute_dtype, or int8 codes
     k: int,
     L: int,
     n_valid: int,
     max_rounds: int,
     interpret: bool,
     keep_per_bin: int,
+    scales_row: jax.Array = None,  # (1, N_pad) fp32 for int8 catalogs
+    bias_row: jax.Array = None,    # (1, N_pad) fp32, with scales_row
 ):
     """Refinement loop for ONE query block: streaming bin-max passes
-    until every hidden element is provably below the k-th value."""
+    until every hidden element is provably below the k-th value.
+
+    With ``scales_row`` the catalog is int8 codes dequantized in VMEM
+    (``_bin_max2_scaled_kernel``); the exactness argument is unchanged
+    because every pass recomputes identical fp32 scores for a given
+    (row, column), so the lexicographic order the rounds refine over is
+    exactly the dequantized-score order."""
     N = n_valid
     B = queries.shape[0]
     thr_s0 = jnp.full((B, L), jnp.inf, jnp.float32)
@@ -317,6 +448,17 @@ def _topk_rounds(
     def run_round(thr_s, thr_i):
         """One streaming pass; returns (revealed values (B, RL),
         revealed indices (B, RL), next thresholds)."""
+        if scales_row is not None:
+            m1, a1, m2, a2 = bin_max2_scaled_round(
+                queries, c_padded, scales_row, bias_row, thr_s, thr_i,
+                L, N, interpret,
+            )
+            return (
+                jnp.concatenate([m1, m2], axis=1),
+                jnp.concatenate([a1, a2], axis=1),
+                m2,
+                a2,
+            )
         if keep_per_bin == 1:
             m, a = bin_max_round(
                 queries, c_padded, thr_s, thr_i, L, N, interpret
@@ -465,6 +607,117 @@ def pallas_exact_topk(
             max_rounds,
             interpret,
             keep_per_bin,
+        )
+        vs.append(v)
+        idxs.append(i)
+        rounds = jnp.maximum(rounds, r)
+    if len(vs) == 1:
+        return vs[0], idxs[0], rounds
+    return (
+        jnp.concatenate(vs, axis=0),
+        jnp.concatenate(idxs, axis=0),
+        rounds,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "k",
+        "n_valid",
+        "L",
+        "max_rounds",
+        "interpret",
+        "compute_dtype",
+        "q_block",
+    ),
+)
+def pallas_quantized_topk(
+    queries: jax.Array,  # (B, E) float
+    codes: jax.Array,    # (N, E) int8 rows
+    scales: jax.Array,   # (N,) fp32 per-row dequantization scales
+    k: int,
+    n_valid: int = None,
+    bias: jax.Array = None,  # (N,) fp32 additive score bias (0 / -inf)
+    L: int = None,
+    max_rounds: int = 8,
+    interpret: bool = False,
+    compute_dtype=jnp.bfloat16,
+    q_block: int = DEFAULT_Q_BLOCK,
+):
+    """Exact top-k of Q @ (codes * scales)^T streaming the catalog as
+    int8 — 4x less HBM traffic than fp32, 2x less than the bf16 exact
+    path, with the same bin-max refinement machinery (top-2 per bin).
+
+    "Exact" here means exact over the DEQUANTIZED scores: quantization
+    error is a property of the catalog, not of this kernel. Queries stay
+    in ``compute_dtype`` (bf16 by default) rather than being quantized
+    to int8, so scores are strictly more accurate than an int8 x int8
+    scan at identical catalog bytes.
+
+    ``n_valid`` marks the real catalog length when ``codes`` arrives
+    pre-padded (rows >= n_valid are never selected). ``bias`` is an
+    additive per-row score term; -inf entries exclude rows when a
+    static n_valid cannot express the mask (per-shard pads under SPMD).
+    Beware: if fewer than k rows have finite bias, the unfillable tail
+    slots return value -inf with index BIG_IDX — callers using a -inf
+    bias must guard gathers on ``isneginf(values)``. Returns
+    (values (B, k), indices (B, k), rounds).
+    """
+    B, E = queries.shape
+    N = codes.shape[0]
+    if n_valid is None:
+        n_valid = N
+    if n_valid > N:
+        raise ValueError(f"n_valid={n_valid} > catalog rows {N}")
+    if k > n_valid:
+        raise ValueError(f"k={k} > n_valid={n_valid}")
+    B_blk = min(B, q_block) if q_block else B
+    if L is None:
+        L = pick_bins(B_blk, E, k, keep_per_bin=2)
+        if L is None:
+            raise ValueError(
+                f"no feasible bin count for B={B_blk}, E={E}, k={k} "
+                "within the VMEM budget; use the XLA scan path instead"
+            )
+    if k > L:
+        raise ValueError(f"k={k} must be <= L={L}")
+    if (
+        vmem_estimate(B_blk, E, L, 2) > VMEM_BUDGET
+        and not interpret
+    ):
+        raise ValueError(
+            "estimated VMEM "
+            f"{vmem_estimate(B_blk, E, L, 2)/1e6:.1f}MB exceeds the "
+            f"v5e budget; reduce L (got {L}) or q_block {B_blk}"
+        )
+    n_pad = ((N + L - 1) // L) * L
+    queries = queries.astype(compute_dtype)
+    codes_p = jnp.pad(codes, ((0, n_pad - N), (0, 0)))
+    scales_row = (
+        jnp.pad(scales.astype(jnp.float32), (0, n_pad - N))
+        .reshape(1, n_pad)
+    )
+    if bias is None:
+        bias = jnp.zeros((N,), jnp.float32)
+    bias_row = (
+        jnp.pad(bias.astype(jnp.float32), (0, n_pad - N))
+        .reshape(1, n_pad)
+    )
+
+    vs, idxs, rounds = [], [], jnp.int32(0)
+    for s in range(0, B, B_blk):
+        v, i, r = _topk_rounds(
+            queries[s : s + B_blk],
+            codes_p,
+            k,
+            L,
+            n_valid,
+            max_rounds,
+            interpret,
+            keep_per_bin=2,
+            scales_row=scales_row,
+            bias_row=bias_row,
         )
         vs.append(v)
         idxs.append(i)

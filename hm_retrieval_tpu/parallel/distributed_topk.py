@@ -183,18 +183,27 @@ def make_distributed_quantized_topk(
     oversample: int = 4,
     recall_target: float = 0.95,
     rescore: bool = True,
+    method: str = "scan",
+    interpret: bool = False,
 ):
     """Returns topk(queries, codes, scales, emb_or_None, ids, bias) ->
     ((B, k) scores, (B, k) ids) over shards placed by
     ``shard_candidates_quantized``.
 
-    Per shard: int8 x int8 MXU scan -> hardware-PartialReduce
-    oversample -> (optional) exact fp32 rescore of the local survivors;
-    then one all-gather of the (B, k) per-shard leaderboards and a
-    k-way merge. Communication stays O(S * B * k). Because each shard
-    rescores its own winners in fp32 BEFORE the merge, the merged
-    ordering is exact over the union of surviving rows — quantization
-    only decides which rows survive per shard."""
+    Per shard: an int8 catalog scan selects ``oversample * k``
+    survivors — ``method="scan"`` is the int8 x int8 MXU scan with a
+    hardware-PartialReduce merge, ``method="pallas"`` streams the fused
+    bin-max kernel over the int8 shard (exact top-k_over of the
+    dequantized scores, 1/4 the HBM bytes of the fp32 exact kernel;
+    ``interpret=True`` runs it on CPU for tests) — then an optional
+    exact fp32 rescore of the local survivors, one all-gather of the
+    (B, k) per-shard leaderboards, and a k-way merge. Communication
+    stays O(S * B * k). Because each shard rescores its own winners in
+    fp32 BEFORE the merge, the merged ordering is exact over the union
+    of surviving rows — quantization only decides which rows survive
+    per shard."""
+    if method not in ("scan", "pallas"):
+        raise ValueError(f"unknown method {method!r}")
 
     def local(queries, codes_shard, scales_shard, emb_shard,
               ids_shard, bias_shard):
@@ -203,23 +212,44 @@ def make_distributed_quantized_topk(
         k_over = min(max(oversample * kk, kk), n_local)
 
         q = queries.astype(jnp.float32)
-        t = jnp.max(jnp.abs(q), axis=1, keepdims=True) / 127.0
-        t = jnp.maximum(t, jnp.float32(1e-30))
-        qq = jnp.clip(jnp.rint(q / t), -127, 127).astype(jnp.int8)
+        if method == "pallas":
+            from hm_retrieval_tpu.ops.pallas_retrieval import (
+                pallas_quantized_topk,
+            )
 
-        iscores = jax.lax.dot_general(
-            qq,
-            codes_shard,
-            (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.int32,
-        )  # (B, n_local)
-        s = (
-            iscores.astype(jnp.float32) * scales_shard[None, :]
-            + bias_shard[None, :]
-        )
-        cs, ci = jax.lax.approx_max_k(
-            s, k_over, recall_target=recall_target
-        )
+            # Pad rows can't be excluded by a static row count under
+            # SPMD; the kernel's bias row carries their -inf instead.
+            cs, ci, _ = pallas_quantized_topk(
+                q,
+                codes_shard,
+                scales_shard,
+                k_over,
+                bias=bias_shard,
+                interpret=interpret,
+            )
+            # A shard with < k_over finite-bias rows leaves -inf
+            # leaderboard slots whose index is a sentinel: clamp for
+            # gather safety; the -inf value keeps them out of merges.
+            ci = jnp.clip(ci, 0, n_local - 1)
+            t = None
+        else:
+            t = jnp.max(jnp.abs(q), axis=1, keepdims=True) / 127.0
+            t = jnp.maximum(t, jnp.float32(1e-30))
+            qq = jnp.clip(jnp.rint(q / t), -127, 127).astype(jnp.int8)
+
+            iscores = jax.lax.dot_general(
+                qq,
+                codes_shard,
+                (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )  # (B, n_local)
+            s = (
+                iscores.astype(jnp.float32) * scales_shard[None, :]
+                + bias_shard[None, :]
+            )
+            cs, ci = jax.lax.approx_max_k(
+                s, k_over, recall_target=recall_target
+            )
         if emb_shard is not None:
             rows = jnp.take(emb_shard, ci, axis=0)  # (B, k_over, E)
             exact = jnp.einsum(
@@ -228,8 +258,13 @@ def make_distributed_quantized_topk(
                 rows,
                 preferred_element_type=jnp.float32,
             ) + jnp.take(bias_shard, ci)
+            # Never resurrect unfilled/-inf survivor slots as real rows.
+            exact = jnp.where(jnp.isneginf(cs), -jnp.inf, exact)
             ls, sel = jax.lax.top_k(exact, kk)
             li = jnp.take_along_axis(ci, sel, axis=1)
+        elif method == "pallas":
+            # already true-scale dequantized scores (bf16 queries)
+            ls, li = cs[:, :kk], ci[:, :kk]
         else:
             ls = cs[:, :kk] * t  # back to true score scale
             li = ci[:, :kk]

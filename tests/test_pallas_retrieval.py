@@ -5,7 +5,10 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from hm_retrieval_tpu.ops.pallas_retrieval import pallas_exact_topk
+from hm_retrieval_tpu.ops.pallas_retrieval import (
+    pallas_exact_topk,
+    pallas_quantized_topk,
+)
 
 
 def ref_topk(scores, k):
@@ -72,6 +75,71 @@ class TestPallasExactTopk:
         ids = np.asarray(i)[0]
         assert len(set(ids.tolist())) == k
         assert set(ids.tolist()) <= set(tied)
+
+    def test_quantized_matches_dequantized_oracle(self, rng):
+        """pallas_quantized_topk is the EXACT top-k of the dequantized
+        score matrix Q @ (codes * scales)^T (quantization error lives
+        in the catalog, not the kernel)."""
+        from hm_retrieval_tpu.indices.quantized import quantize_rows
+
+        B, E, N, k = 8, 32, 1000, 10
+        q = rng.normal(size=(B, E)).astype(np.float32)
+        emb = rng.normal(size=(N, E)).astype(np.float32)
+        codes, scales = quantize_rows(emb)
+        v, i, _ = pallas_quantized_topk(
+            jnp.asarray(q),
+            jnp.asarray(codes),
+            jnp.asarray(scales),
+            k,
+            L=256,
+            interpret=True,
+            compute_dtype=jnp.float32,
+        )
+        deq = codes.astype(np.float32) * scales[:, None]
+        scores = q @ deq.T
+        np.testing.assert_allclose(
+            np.asarray(v), ref_topk(scores, k), rtol=1e-5
+        )
+        got = np.take_along_axis(scores, np.asarray(i), axis=1)
+        np.testing.assert_allclose(got, np.asarray(v), rtol=1e-5)
+
+    def test_quantized_n_valid_masks_padded_rows(self, rng):
+        from hm_retrieval_tpu.indices.quantized import quantize_rows
+
+        B, E, N, k, n_valid = 4, 16, 512, 8, 450
+        q = rng.normal(size=(B, E)).astype(np.float32)
+        emb = rng.normal(size=(N, E)).astype(np.float32)
+        # make the tail rows the best scorers: they must still lose
+        emb[n_valid:] *= 100.0
+        codes, scales = quantize_rows(emb)
+        v, i, _ = pallas_quantized_topk(
+            jnp.asarray(q),
+            jnp.asarray(codes),
+            jnp.asarray(scales),
+            k,
+            n_valid=n_valid,
+            L=128,
+            interpret=True,
+            compute_dtype=jnp.float32,
+        )
+        assert np.asarray(i).max() < n_valid
+        deq = codes.astype(np.float32) * scales[:, None]
+        scores = (q @ deq.T)[:, :n_valid]
+        np.testing.assert_allclose(
+            np.asarray(v), ref_topk(scores, k), rtol=1e-5
+        )
+
+    def test_quantized_validation(self):
+        with pytest.raises(ValueError, match="n_valid"):
+            pallas_quantized_topk(
+                jnp.zeros((2, 8)),
+                jnp.zeros((128, 8), jnp.int8),
+                jnp.ones((128,)),
+                10,
+                n_valid=5,
+                L=64,
+                interpret=True,
+            )
 
     def test_k_exceeds_bins_rejected(self):
         with pytest.raises(ValueError, match="<= L"):

@@ -323,11 +323,25 @@ class TestDistributedTopk:
         assert np.isfinite(np.asarray(s)).all()
 
 
+def _make_quant_topk(mesh, k, method, **kw):
+    from hm_retrieval_tpu.parallel.distributed_topk import (
+        make_distributed_quantized_topk,
+    )
+
+    return make_distributed_quantized_topk(
+        mesh,
+        k,
+        method=method,
+        interpret=(method == "pallas"),
+        **kw,
+    )
+
+
 class TestDistributedQuantizedTopk:
+    @pytest.mark.parametrize("method", ["scan", "pallas"])
     @pytest.mark.parametrize("keep_fp32", [True, False])
-    def test_matches_single_device(self, rng, keep_fp32):
+    def test_matches_single_device(self, rng, keep_fp32, method):
         from hm_retrieval_tpu.parallel.distributed_topk import (
-            make_distributed_quantized_topk,
             shard_candidates_quantized,
         )
 
@@ -343,7 +357,7 @@ class TestDistributedQuantizedTopk:
         placed = shard_candidates_quantized(
             emb, ids, mesh, keep_fp32=keep_fp32
         )
-        topk = make_distributed_quantized_topk(mesh, k)
+        topk = _make_quant_topk(mesh, k, method)
         s, got = topk(jnp.asarray(q), *placed)
         got = np.asarray(got)
         hits = sum(
@@ -354,9 +368,9 @@ class TestDistributedQuantizedTopk:
         assert hits / ids_ref.size >= (0.99 if keep_fp32 else 0.95)
         assert np.isfinite(np.asarray(s)).all()
 
-    def test_padding_never_selected(self, rng):
+    @pytest.mark.parametrize("method", ["scan", "pallas"])
+    def test_padding_never_selected(self, rng, method):
         from hm_retrieval_tpu.parallel.distributed_topk import (
-            make_distributed_quantized_topk,
             shard_candidates_quantized,
         )
 
@@ -366,16 +380,16 @@ class TestDistributedQuantizedTopk:
         ids = np.arange(1, N + 1, dtype=np.int32)
         q = np.zeros((3, E), np.float32)
         placed = shard_candidates_quantized(emb, ids, mesh)
-        topk = make_distributed_quantized_topk(mesh, k)
+        topk = _make_quant_topk(mesh, k, method)
         s, got = topk(jnp.asarray(q), *placed)
         assert set(np.asarray(got).ravel()) == set(ids)
         assert np.isfinite(np.asarray(s)).all()
 
-    def test_rescored_scores_are_exact(self, rng):
+    @pytest.mark.parametrize("method", ["scan", "pallas"])
+    def test_rescored_scores_are_exact(self, rng, method):
         """With fp32 shards kept, returned scores equal the true dot
         products of the returned ids."""
         from hm_retrieval_tpu.parallel.distributed_topk import (
-            make_distributed_quantized_topk,
             shard_candidates_quantized,
         )
 
@@ -385,9 +399,18 @@ class TestDistributedQuantizedTopk:
         ids = np.arange(1, N + 1, dtype=np.int32)
         q = rng.normal(size=(B, E)).astype(np.float32)
         placed = shard_candidates_quantized(emb, ids, mesh)
-        topk = make_distributed_quantized_topk(mesh, k)
+        topk = _make_quant_topk(mesh, k, method)
         s, got = topk(jnp.asarray(q), *placed)
         s, got = np.asarray(s), np.asarray(got)
         for b in range(B):
             want = np.array([q[b] @ emb[i - 1] for i in got[b]])
             np.testing.assert_allclose(s[b], want, rtol=1e-5, atol=1e-5)
+
+    def test_unknown_method_rejected(self):
+        from hm_retrieval_tpu.parallel.distributed_topk import (
+            make_distributed_quantized_topk,
+        )
+
+        mesh = make_mesh(data=1, model=8)
+        with pytest.raises(ValueError, match="unknown method"):
+            make_distributed_quantized_topk(mesh, 5, method="ivf")

@@ -200,6 +200,75 @@ class TestQuantizedIndex:
             recall_vs_oracle(got, np.asarray(want)) == 1.0
         )  # all real rows survive -> rescore is fully exact
 
+    def test_pallas_method_exact_when_all_rows_survive(self, rng):
+        """method='pallas' (interpret on CPU): when k_over covers the
+        whole catalog the fp32 rescore makes the result exactly the
+        brute-force top-k, independent of the survivor engine."""
+        ids, emb, q = self._data(rng, n=150, e=16)
+        k = 30  # k_over = 120 -> min(k_over, 150) with oversample=4
+        oracle = BruteForceIndex(k, ids, emb, method="full")
+        _, want = oracle.topk_from_embeddings(jnp.asarray(q))
+        idx = QuantizedIndex(
+            k, ids, emb, oversample=5, method="pallas"
+        )  # k_over = min(150, chunk)
+        assert idx.method == "pallas"
+        _, got = idx.topk_from_embeddings(jnp.asarray(q))
+        np.testing.assert_array_equal(
+            np.asarray(got), np.asarray(want)
+        )
+
+    def test_pallas_method_recall(self, rng):
+        ids, emb, q = self._data(rng, n=600, e=16)
+        k = 10
+        oracle = BruteForceIndex(k, ids, emb, method="full")
+        _, want = oracle.topk_from_embeddings(jnp.asarray(q))
+        idx = QuantizedIndex(k, ids, emb, method="pallas")
+        _, got = idx.topk_from_embeddings(jnp.asarray(q))
+        assert (
+            recall_vs_oracle(np.asarray(got), np.asarray(want))
+            >= 0.99
+        )
+
+    def test_pallas_method_no_rescore(self, rng):
+        """Without the fp32 table the pallas path ranks by dequantized
+        scores with bf16 queries — at least as accurate as the int8
+        query scan."""
+        ids, emb, q = self._data(rng, n=400, e=16)
+        k = 5
+        oracle = BruteForceIndex(k, ids, emb, method="full")
+        _, want = oracle.topk_from_embeddings(jnp.asarray(q))
+        idx = QuantizedIndex(
+            k, ids, emb, rescore=False, method="pallas"
+        )
+        assert idx.embeddings is None
+        _, got = idx.topk_from_embeddings(jnp.asarray(q))
+        assert (
+            recall_vs_oracle(np.asarray(got), np.asarray(want))
+            >= 0.95
+        )
+
+    def test_pallas_method_load_remaps_off_tpu(
+        self, rng, tmp_path, caplog
+    ):
+        """Persisted method='pallas' loads as 'scan' on a CPU backend
+        (interpret mode is correct but unusably slow for serving)."""
+        ids, emb, q = self._data(rng, n=300, e=16)
+        idx = QuantizedIndex(4, ids, emb, method="pallas")
+        _, want = idx.topk_from_embeddings(jnp.asarray(q))
+        idx.save(str(tmp_path))
+        import json
+
+        with open(str(tmp_path / "meta.json")) as f:
+            assert json.load(f)["method"] == "pallas"
+        loaded = QuantizedIndex.load(str(tmp_path))
+        assert loaded.method == "scan"
+        _, got = loaded.topk_from_embeddings(jnp.asarray(q))
+        # both rescore the survivors in fp32; sets agree near-exactly
+        assert (
+            recall_vs_oracle(np.asarray(got), np.asarray(want))
+            >= 0.99
+        )
+
     def test_load_index_dispatch(self, rng, tmp_path):
         from hm_retrieval_tpu.indices import load_index
 
