@@ -75,10 +75,15 @@ def make_fns(n):
 
     def pquant(q, arrays, rescore):
         """Fused int8 Pallas scan (catalog streams as int8) + optional
-        fp32 rescore of the k_over survivors."""
+        fp32 rescore of the k_over survivors. max_rounds=1 is the
+        production default (QuantizedIndex.pallas_rounds): survivor
+        refinement doesn't move recall, quantization error does —
+        see benchmarks/tune_pallas_quantized.py."""
         c, codes, scales = arrays
         kk = K_OVER if rescore else K
-        v, idx, _ = pallas_quantized_topk(q, codes, scales, kk)
+        v, idx, _ = pallas_quantized_topk(
+            q, codes, scales, kk, max_rounds=1
+        )
         if rescore:
             rows = jnp.take(c, idx, axis=0)
             exact = jnp.einsum(

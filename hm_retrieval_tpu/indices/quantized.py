@@ -104,10 +104,18 @@ class QuantizedIndex:
         candidate set (scan method only).
     method:
         Survivor-selection engine. "pallas" streams the int8 catalog
-        through the fused bin-max kernel (exact top-k' of the
-        dequantized scores, bf16 queries); "scan" is the XLA
-        chunked int8 x int8 scan (portable, quantized queries);
+        through the fused bin-max kernel (bf16 queries); "scan" is the
+        XLA chunked int8 x int8 scan (portable, quantized queries);
         "auto" picks pallas on TPU, scan elsewhere.
+    pallas_rounds:
+        Streaming passes for the pallas engine. The default 1 takes a
+        single pass (per-bin top-2 + one merge): survivors are then
+        approximate, but measured recall is IDENTICAL to fully-refined
+        survivors (0.995 at N=1M/k=100, BASELINE.md) because
+        quantization error, not survivor refinement, bounds coverage —
+        and it is 4x faster. Raise to refine survivors to the exact
+        dequantized top-k' (matters only without rescore on adversarial
+        score distributions).
     """
 
     PAD_MULTIPLE = 1024
@@ -122,6 +130,7 @@ class QuantizedIndex:
         chunk: int = 65536,
         recall_target: float = 0.95,
         method: str = "auto",
+        pallas_rounds: int = 1,
     ):
         if k <= 0:
             raise ValueError("k must be positive")
@@ -131,6 +140,9 @@ class QuantizedIndex:
             raise ValueError("recall_target must be in (0, 1]")
         if method not in ("auto", "scan", "pallas"):
             raise ValueError(f"unknown method {method!r}")
+        if pallas_rounds < 1:
+            raise ValueError("pallas_rounds must be >= 1")
+        self.pallas_rounds = int(pallas_rounds)
         identifiers = np.asarray(identifiers)
         embeddings = np.asarray(embeddings, np.float32)
         if identifiers.ndim != 1 or embeddings.ndim != 2:
@@ -337,7 +349,10 @@ class QuantizedIndex:
         return top_s, jnp.take(identifiers, top_i)
 
     @staticmethod
-    @partial(jax.jit, static_argnames=("k", "k_over", "n_valid"))
+    @partial(
+        jax.jit,
+        static_argnames=("k", "k_over", "n_valid", "max_rounds"),
+    )
     def _topk_pallas(
         query_embeddings,  # (B, E) fp32
         codes,             # (N_pad, E) int8
@@ -347,8 +362,9 @@ class QuantizedIndex:
         k,
         k_over,
         n_valid,
+        max_rounds,
     ):
-        """Fused-kernel survivor selection: exact top-k_over of the
+        """Fused-kernel survivor selection: top-k_over of the
         dequantized scores via pallas_quantized_topk (the catalog
         streams from HBM as int8), then the usual fp32 rescore."""
         from hm_retrieval_tpu.ops.pallas_retrieval import (
@@ -363,6 +379,7 @@ class QuantizedIndex:
             scales,
             kk,
             n_valid=n_valid,
+            max_rounds=max_rounds,
             # interpret off-TPU: slow but correct, keeps the method
             # testable on the fake CPU mesh
             interpret=jax.default_backend() != "tpu",
@@ -396,6 +413,7 @@ class QuantizedIndex:
                 self.k,
                 min(self.k_over, self.num_candidates),
                 self.num_candidates,
+                self.pallas_rounds,
             )
         return self._topk(
             query_embeddings,
@@ -448,6 +466,7 @@ class QuantizedIndex:
                     "chunk": self.chunk,
                     "recall_target": self.recall_target,
                     "method": self.method,
+                    "pallas_rounds": self.pallas_rounds,
                 },
                 f,
             )
@@ -481,6 +500,7 @@ class QuantizedIndex:
                     chunk=meta.get("chunk", 65536),
                     recall_target=meta.get("recall_target", 0.95),
                     method=method,
+                    pallas_rounds=meta.get("pallas_rounds", 1),
                 )
                 # Preserve the exact saved codes (round-trip identity
                 # regardless of requantization drift).
@@ -498,6 +518,7 @@ class QuantizedIndex:
             idx.oversample = meta.get("oversample", 4)
             idx.rescore = False
             idx.recall_target = meta.get("recall_target", 0.95)
+            idx.pallas_rounds = meta.get("pallas_rounds", 1)
             codes = z["codes"]
             scales = z["scales"]
             identifiers = z["identifiers"]

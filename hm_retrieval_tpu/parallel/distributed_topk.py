@@ -185,6 +185,7 @@ def make_distributed_quantized_topk(
     rescore: bool = True,
     method: str = "scan",
     interpret: bool = False,
+    pallas_rounds: int = 1,
 ):
     """Returns topk(queries, codes, scales, emb_or_None, ids, bias) ->
     ((B, k) scores, (B, k) ids) over shards placed by
@@ -225,6 +226,7 @@ def make_distributed_quantized_topk(
                 scales_shard,
                 k_over,
                 bias=bias_shard,
+                max_rounds=pallas_rounds,
                 interpret=interpret,
             )
             # A shard with < k_over finite-bias rows leaves -inf

@@ -253,15 +253,20 @@ class TestQuantizedIndex:
         """Persisted method='pallas' loads as 'scan' on a CPU backend
         (interpret mode is correct but unusably slow for serving)."""
         ids, emb, q = self._data(rng, n=300, e=16)
-        idx = QuantizedIndex(4, ids, emb, method="pallas")
+        idx = QuantizedIndex(
+            4, ids, emb, method="pallas", pallas_rounds=2
+        )
         _, want = idx.topk_from_embeddings(jnp.asarray(q))
         idx.save(str(tmp_path))
         import json
 
         with open(str(tmp_path / "meta.json")) as f:
-            assert json.load(f)["method"] == "pallas"
+            meta = json.load(f)
+        assert meta["method"] == "pallas"
+        assert meta["pallas_rounds"] == 2
         loaded = QuantizedIndex.load(str(tmp_path))
         assert loaded.method == "scan"
+        assert loaded.pallas_rounds == 2
         _, got = loaded.topk_from_embeddings(jnp.asarray(q))
         # both rescore the survivors in fp32; sets agree near-exactly
         assert (
@@ -293,6 +298,10 @@ class TestQuantizedIndex:
             QuantizedIndex(2, ids, emb, oversample=0)
         with pytest.raises(ValueError):
             QuantizedIndex(2, ids, emb, recall_target=0.0)
+        with pytest.raises(ValueError):
+            QuantizedIndex(2, ids, emb, pallas_rounds=0)
+        with pytest.raises(ValueError):
+            QuantizedIndex(2, ids, emb, method="ivf")
 
 
 class TestRunnerIntegration:
