@@ -189,6 +189,96 @@ def _bin_max2_kernel(
     a2_ref[:] = jnp.where(gt1, a1, jnp.where(gt2, flat, a2))
 
 
+def _update_top2(s, flat, m1_ref, a1_ref, m2_ref, a2_ref):
+    """Running lexicographic top-2 per (row, bin) cell; strict >
+    implements the (score desc, index asc) order because streaming is
+    in increasing chunk order (see _bin_max_kernel's comment)."""
+    m1, a1 = m1_ref[:], a1_ref[:]
+    m2, a2 = m2_ref[:], a2_ref[:]
+    gt1 = s > m1
+    gt2 = s > m2
+    m1_ref[:] = jnp.where(gt1, s, m1)
+    a1_ref[:] = jnp.where(gt1, flat, a1)
+    m2_ref[:] = jnp.where(gt1, m1, jnp.where(gt2, s, m2))
+    a2_ref[:] = jnp.where(gt1, a1, jnp.where(gt2, flat, a2))
+
+
+def _bin_max2_first_kernel(
+    q_ref,      # (B, E) VMEM, resident
+    c_ref,      # (L, E) VMEM, current chunk
+    m1_ref,
+    a1_ref,
+    m2_ref,
+    a2_ref,
+    *,
+    L: int,
+    n_valid: int,
+):
+    """First-pass specialization of _bin_max2_kernel: round 1's
+    thresholds are +inf/-1 (everything eligible), so the eligibility
+    compare/or chain — ~1/3 of the per-element VPU ops in this
+    compare/select-bound kernel — and the two (B, L) threshold inputs
+    are dropped entirely."""
+    c = pl.program_id(0)
+
+    @pl.when(c == 0)
+    def _():
+        m1_ref[:] = jnp.full(m1_ref.shape, NEG_INF, m1_ref.dtype)
+        a1_ref[:] = jnp.full(a1_ref.shape, BIG_IDX, a1_ref.dtype)
+        m2_ref[:] = jnp.full(m2_ref.shape, NEG_INF, m2_ref.dtype)
+        a2_ref[:] = jnp.full(a2_ref.shape, BIG_IDX, a2_ref.dtype)
+
+    scores = jnp.dot(
+        q_ref[:], c_ref[:].T, preferred_element_type=jnp.float32
+    )
+    B = scores.shape[0]
+    col = jax.lax.broadcasted_iota(jnp.int32, (B, L), 1)
+    flat = col + c * L
+    s = jnp.where(flat < n_valid, scores, NEG_INF)
+    _update_top2(s, flat, m1_ref, a1_ref, m2_ref, a2_ref)
+
+
+def _bin_max2_scaled_first_kernel(
+    q_ref,      # (B, E) VMEM, resident (compute dtype)
+    c_ref,      # (L, E) VMEM, current chunk — int8 codes
+    s_ref,      # (1, L) VMEM: per-row dequantization scales
+    b_ref,      # (1, L) VMEM: per-row additive score bias (0 / -inf)
+    m1_ref,
+    a1_ref,
+    m2_ref,
+    a2_ref,
+    *,
+    L: int,
+    n_valid: int,
+):
+    """First-pass specialization of _bin_max2_scaled_kernel (no
+    threshold eligibility test — round 1 accepts everything valid).
+    This is the ENTIRE kernel cost of the production quantized path
+    (pallas_rounds=1)."""
+    c = pl.program_id(0)
+
+    @pl.when(c == 0)
+    def _():
+        m1_ref[:] = jnp.full(m1_ref.shape, NEG_INF, m1_ref.dtype)
+        a1_ref[:] = jnp.full(a1_ref.shape, BIG_IDX, a1_ref.dtype)
+        m2_ref[:] = jnp.full(m2_ref.shape, NEG_INF, m2_ref.dtype)
+        a2_ref[:] = jnp.full(a2_ref.shape, BIG_IDX, a2_ref.dtype)
+
+    codes = c_ref[:].astype(q_ref.dtype)
+    scores = (
+        jnp.dot(
+            q_ref[:], codes.T, preferred_element_type=jnp.float32
+        )
+        * s_ref[0, :][None, :]
+        + b_ref[0, :][None, :]
+    )
+    B = scores.shape[0]
+    col = jax.lax.broadcasted_iota(jnp.int32, (B, L), 1)
+    flat = col + c * L
+    s = jnp.where(flat < n_valid, scores, NEG_INF)
+    _update_top2(s, flat, m1_ref, a1_ref, m2_ref, a2_ref)
+
+
 def _bin_max2_scaled_kernel(
     q_ref,      # (B, E) VMEM, resident (compute dtype)
     c_ref,      # (L, E) VMEM, current chunk — int8 codes
@@ -310,6 +400,107 @@ def bin_max2_scaled_round(
         ),
         interpret=interpret,
     )(q, codes_padded, scales_row, bias_row, thr_s, thr_i)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("L", "n_valid", "interpret")
+)
+def bin_max2_first_round(
+    q: jax.Array,
+    c_padded: jax.Array,
+    L: int,
+    n_valid: int,
+    interpret: bool = False,
+):
+    """Round-1 streaming pass (no thresholds): top-2 per bin of
+    everything valid."""
+    B, E = q.shape
+    n_pad = c_padded.shape[0]
+    assert n_pad % L == 0
+    grid = (n_pad // L,)
+    bl = lambda c: (0, 0)  # noqa: E731
+    return pl.pallas_call(
+        functools.partial(
+            _bin_max2_first_kernel, L=L, n_valid=n_valid
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((B, E), bl, memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (L, E), lambda c: (c, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=tuple(
+            pl.BlockSpec((B, L), bl, memory_space=pltpu.VMEM)
+            for _ in range(4)
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, L), jnp.float32),
+            jax.ShapeDtypeStruct((B, L), jnp.int32),
+            jax.ShapeDtypeStruct((B, L), jnp.float32),
+            jax.ShapeDtypeStruct((B, L), jnp.int32),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * n_pad * E,
+            bytes_accessed=n_pad * E * 4 + 4 * B * L * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(q, c_padded)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("L", "n_valid", "interpret")
+)
+def bin_max2_scaled_first_round(
+    q: jax.Array,
+    codes_padded: jax.Array,
+    scales_row: jax.Array,  # (1, N_pad)
+    bias_row: jax.Array,    # (1, N_pad)
+    L: int,
+    n_valid: int,
+    interpret: bool = False,
+):
+    """Round-1 streaming pass over the int8 catalog (no thresholds)."""
+    B, E = q.shape
+    n_pad = codes_padded.shape[0]
+    assert n_pad % L == 0
+    grid = (n_pad // L,)
+    bl = lambda c: (0, 0)  # noqa: E731
+    return pl.pallas_call(
+        functools.partial(
+            _bin_max2_scaled_first_kernel, L=L, n_valid=n_valid
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((B, E), bl, memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (L, E), lambda c: (c, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, L), lambda c: (0, c), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, L), lambda c: (0, c), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=tuple(
+            pl.BlockSpec((B, L), bl, memory_space=pltpu.VMEM)
+            for _ in range(4)
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, L), jnp.float32),
+            jax.ShapeDtypeStruct((B, L), jnp.int32),
+            jax.ShapeDtypeStruct((B, L), jnp.float32),
+            jax.ShapeDtypeStruct((B, L), jnp.int32),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * n_pad * E,
+            bytes_accessed=n_pad * E + 4 * B * L * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(q, codes_padded, scales_row, bias_row)
 
 
 @functools.partial(
@@ -442,8 +633,6 @@ def _topk_rounds(
     exactly the dequantized-score order."""
     N = n_valid
     B = queries.shape[0]
-    thr_s0 = jnp.full((B, L), jnp.inf, jnp.float32)
-    thr_i0 = jnp.full((B, L), -1, jnp.int32)
 
     def run_round(thr_s, thr_i):
         """One streaming pass; returns (revealed values (B, RL),
@@ -472,7 +661,32 @@ def _topk_rounds(
         # next threshold = the weaker revealed element per bin
         return vals, idxs, m2, a2
 
-    vals, idxs, thr_s, thr_i = run_round(thr_s0, thr_i0)
+    def run_first():
+        """Round 1 through the threshold-free kernels (everything is
+        eligible when thresholds are +inf/-1, so the eligibility chain
+        — ~1/3 of the VPU ops — is compiled out; this pass is the
+        ENTIRE kernel cost of the single-pass quantized path)."""
+        if scales_row is not None:
+            m1, a1, m2, a2 = bin_max2_scaled_first_round(
+                queries, c_padded, scales_row, bias_row, L, N,
+                interpret,
+            )
+        elif keep_per_bin == 1:
+            thr_s0 = jnp.full((B, L), jnp.inf, jnp.float32)
+            thr_i0 = jnp.full((B, L), -1, jnp.int32)
+            return run_round(thr_s0, thr_i0)
+        else:
+            m1, a1, m2, a2 = bin_max2_first_round(
+                queries, c_padded, L, N, interpret
+            )
+        return (
+            jnp.concatenate([m1, m2], axis=1),
+            jnp.concatenate([a1, a2], axis=1),
+            m2,
+            a2,
+        )
+
+    vals, idxs, thr_s, thr_i = run_first()
     lead_v, sel = lax.top_k(vals, k)
     lead_i = jnp.take_along_axis(idxs, sel, axis=1)
 
