@@ -12,7 +12,6 @@ request and blow its length limit (HTTP 413) at large N.
 import json
 import os
 import sys
-import time
 from functools import partial
 
 sys.path.insert(
@@ -107,42 +106,11 @@ def make_fns(n):
     }
 
 
-def time_fn(fn, q, arrays, iters=ITERS):
-    @jax.jit
-    def run(q, arrays, salt):
-        # every dispatch's args must be unique: the remote runtime can
-        # serve repeated identical dispatches from a cache (observed
-        # 1us "runs" of an 18ms scan)
-        def body(acc, i):
-            qq = jnp.roll(q, i + salt, axis=0)
-            s, out_ids = fn(qq, arrays)
-            return (
-                acc + s[0, 0] + out_ids[0, 0].astype(jnp.float32),
-                None,
-            )
-
-        acc, _ = jax.lax.scan(body, 0.0, jnp.arange(iters))
-        return acc
-
-    # float() forces a VALUE fetch: through the relay tunnel,
-    # block_until_ready alone can return before execution finishes
-    # (observed 8us "runs" of a multi-ms scan).
-    float(run(q, arrays, jnp.int32(0)))  # compile + warm
-    dt = float("inf")
-    for salt in (1, 2):
-        t0 = time.time()
-        float(run(q, arrays, jnp.int32(salt)))
-        dt = min(dt, (time.time() - t0) / iters)
-    return dt
-
-
-def recall_vs(want_ids, got_ids):
-    want, got = np.asarray(want_ids), np.asarray(got_ids)
-    hits = sum(
-        len(set(w.tolist()) & set(g.tolist()))
-        for w, g in zip(want, got)
-    )
-    return hits / want.size
+# Timing via the shared harness: on-device scan, salted inputs, value-
+# fetch sync, and FULL-output consumption (a [0,0]-only consumer lets
+# XLA dead-code-eliminate whole query blocks of the blocked Pallas
+# drivers — see timing_util.py).
+from timing_util import recall_vs, time_fn  # noqa: E402
 
 
 def main():

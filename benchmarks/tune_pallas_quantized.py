@@ -13,7 +13,6 @@ Usage: timeout 2400 python benchmarks/tune_pallas_quantized.py
 import json
 import os
 import sys
-import time
 
 sys.path.insert(
     0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -25,6 +24,11 @@ os.makedirs(".jax_cache", exist_ok=True)
 jax.config.update("jax_compilation_cache_dir", ".jax_cache")
 
 import jax.numpy as jnp
+
+# Shared harness: on-device scan, salted inputs, value-fetch sync,
+# FULL-output consumption (see timing_util.py for why [0,0]-only
+# consumers produce DCE artifacts with blocked Pallas drivers).
+from timing_util import recall_vs, time_fn  # noqa: E402
 
 from hm_retrieval_tpu.ops.pallas_retrieval import (
     pallas_exact_topk,
@@ -43,40 +47,6 @@ def quantize_on_device(c):
         jnp.rint(c / scales[:, None]), -127, 127
     ).astype(jnp.int8)
     return codes, scales.astype(jnp.float32)
-
-
-def time_fn(fn, q, arrays, iters=ITERS):
-    @jax.jit
-    def run(q, arrays, salt):
-        def body(acc, i):
-            qq = jnp.roll(q, i + salt, axis=0)
-            s, out_ids = fn(qq, arrays)
-            return (
-                acc + s[0, 0] + out_ids[0, 0].astype(jnp.float32),
-                None,
-            )
-
-        acc, _ = jax.lax.scan(body, 0.0, jnp.arange(iters))
-        return acc
-
-    float(run(q, arrays, jnp.int32(0)))  # compile + warm (value fetch)
-    dt = float("inf")
-    for salt in (1, 2):
-        t0 = time.time()
-        float(run(q, arrays, jnp.int32(salt)))
-        dt = min(dt, (time.time() - t0) / iters)
-    return dt
-
-
-def recall_vs(want_ids, got_ids):
-    import numpy as np
-
-    want, got = np.asarray(want_ids), np.asarray(got_ids)
-    hits = sum(
-        len(set(w.tolist()) & set(g.tolist()))
-        for w, g in zip(want, got)
-    )
-    return hits / want.size
 
 
 def make_variant(k_over, max_rounds, rescore):

@@ -59,12 +59,10 @@ def _resolve_method(method: str, k_eff: int, dim: int) -> str:
         return method
     if jax.default_backend() != "tpu":
         return "scan"
-    from hm_retrieval_tpu.ops.pallas_retrieval import (
-        DEFAULT_Q_BLOCK,
-        pick_bins,
-    )
+    from hm_retrieval_tpu.ops.pallas_retrieval import pick_bins
 
-    feasible = pick_bins(DEFAULT_Q_BLOCK, dim, k_eff, 2)
+    # 256 = the kernel's single-pass q_block default (pallas_rounds=1)
+    feasible = pick_bins(256, dim, k_eff, 2)
     return "pallas" if feasible is not None else "scan"
 
 
@@ -91,7 +89,10 @@ class QuantizedIndex:
         Same contract as BruteForceIndex: (N,) int ids, (N, E) fp32.
     oversample:
         The quantized scan keeps ``oversample * k`` candidates before the
-        fp32 rescore; higher = better recall, more rescore work.
+        fp32 rescore; higher = better recall, more rescore work. For
+        ``method="pallas"`` the survivor set is already near-exact, so
+        oversample=2 matches oversample=4's recall at ~2/3 the cost
+        (BASELINE.md); 4 stays the default for scan-path parity.
     rescore:
         Keep the fp32 catalog and exactly re-score the survivors
         (default). ``False`` drops the fp32 copy (1/4 memory) and ranks

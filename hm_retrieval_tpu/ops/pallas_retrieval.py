@@ -56,12 +56,12 @@ def vmem_estimate(B: int, E: int, L: int, keep_per_bin: int) -> int:
 
 
 def pick_bins(
-    B: int, E: int, k: int, keep_per_bin: int = 2
+    B: int, E: int, k: int, keep_per_bin: int = 2, target: int = None
 ) -> "int | None":
     """Lane-aligned bin count for the kernel: the smallest feasible L
-    at least ``4 * keep_per_bin * k`` (else the largest feasible), or
-    None if nothing satisfies k <= L and the VMEM budget (caller should
-    fall back to the XLA exact path).
+    at least ``target`` (default ``4 * keep_per_bin * k``; else the
+    largest feasible), or None if nothing satisfies k <= L and the
+    VMEM budget (caller should fall back to the XLA exact path).
 
     Rationale: per-pass cost is independent of L (the VPU work is B*N
     elements either way), while more bins mean shallower per-bin
@@ -78,7 +78,8 @@ def pick_bins(
     ]
     if not feasible:
         return None
-    target = 4 * keep_per_bin * k
+    if target is None:
+        target = 4 * keep_per_bin * k
     for L in feasible:
         if L >= target:
             return L
@@ -857,7 +858,7 @@ def pallas_quantized_topk(
     max_rounds: int = 8,
     interpret: bool = False,
     compute_dtype=jnp.bfloat16,
-    q_block: int = DEFAULT_Q_BLOCK,
+    q_block: int = None,
 ):
     """Exact top-k of Q @ (codes * scales)^T streaming the catalog as
     int8 — 4x less HBM traffic than fp32, 2x less than the bf16 exact
@@ -886,9 +887,22 @@ def pallas_quantized_topk(
         raise ValueError(f"n_valid={n_valid} > catalog rows {N}")
     if k > n_valid:
         raise ValueError(f"k={k} > n_valid={n_valid}")
+    if q_block is None:
+        # The multi-round exact loop wants SMALL blocks (VMEM for bins
+        # + per-block early exit), but in single-pass mode there are no
+        # rounds to save, while every block re-streams and re-
+        # dequantizes the catalog: measured at N=1M/B=1024/k=100,
+        # q_block 256 runs 5.6ms vs 6.4ms at 128 without rescore and
+        # 9.5 vs 10.5ms with (BASELINE.md q_block sweep, 2026-08-20).
+        q_block = 256 if max_rounds == 1 else DEFAULT_Q_BLOCK
     B_blk = min(B, q_block) if q_block else B
     if L is None:
-        L = pick_bins(B_blk, E, k, keep_per_bin=2)
+        # Single-pass mode: collisions only trim the survivor margin
+        # (no refinement rounds to shorten), so a moderate L suffices —
+        # L=1024 measured fastest at the production point
+        # (BASELINE.md (q_block, L) sweep, 2026-08-20).
+        target = max(k, 1024) if max_rounds == 1 else None
+        L = pick_bins(B_blk, E, k, keep_per_bin=2, target=target)
         if L is None:
             raise ValueError(
                 f"no feasible bin count for B={B_blk}, E={E}, k={k} "
