@@ -78,6 +78,14 @@ def main():
         help="retrieval index family: exact brute force (reference "
         "behavior) or the int8 quantized scan",
     )
+    ap.add_argument(
+        "--distributed-index",
+        action="store_true",
+        help="row-shard the retrieval catalog over the mesh's model "
+        "axis and serve eval through the collective top-k merge "
+        "(needs --mesh-model > 1 to actually split; the layout for "
+        "catalogs bigger than one chip's HBM)",
+    )
     args = ap.parse_args()
     stages = set(args.stages.split(","))
     unknown = stages - {"etl", "schema", "shards", "model", "baseline"}
@@ -213,7 +221,11 @@ def main():
     )
 
     mesh = None
-    if args.mesh_data is not None or args.mesh_model > 1:
+    if (
+        args.mesh_data is not None
+        or args.mesh_model > 1
+        or args.distributed_index
+    ):
         from hm_retrieval_tpu.parallel import make_mesh
 
         mesh = make_mesh(
@@ -229,7 +241,10 @@ def main():
     results = baseline = None
     if "model" in stages:
         results = modelling_runner(
-            settings, mesh=mesh, resume=args.resume
+            settings,
+            mesh=mesh,
+            resume=args.resume,
+            distributed_index=args.distributed_index,
         )
     if "baseline" in stages:
         baseline = baseline_modelling_runner(settings)

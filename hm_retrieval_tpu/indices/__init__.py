@@ -3,12 +3,21 @@
 - BruteForceIndex: exact top-k (ref: pkg/modelling/indices/brute_force.py)
 - QuantizedIndex: int8 scan + fp32 rescore ANN (beyond parity)
 - StaticIndex: popularity baseline (ref: pkg/modelling/indices/static_index.py)
+- DistributedBruteForceIndex / DistributedQuantizedIndex: the same two
+  families with the catalog row-sharded over a device mesh
+  (indices/distributed.py)
 """
 
 import json
 import os
 
 from hm_retrieval_tpu.indices.brute_force import BruteForceIndex
+from hm_retrieval_tpu.indices.distributed import (
+    DISTRIBUTED_INDEX_TYPES,
+    DistributedBruteForceIndex,
+    DistributedQuantizedIndex,
+    load_distributed_index,
+)
 from hm_retrieval_tpu.indices.quantized import QuantizedIndex
 from hm_retrieval_tpu.indices.static_index import StaticIndex
 
@@ -36,6 +45,10 @@ __all__ = [
     "BruteForceIndex",
     "QuantizedIndex",
     "StaticIndex",
+    "DistributedBruteForceIndex",
+    "DistributedQuantizedIndex",
     "INDEX_TYPES",
+    "DISTRIBUTED_INDEX_TYPES",
     "load_index",
+    "load_distributed_index",
 ]

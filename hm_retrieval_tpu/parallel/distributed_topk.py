@@ -22,7 +22,7 @@ import numpy as np
 from jax import shard_map
 from jax.sharding import NamedSharding, PartitionSpec as P
 
-from hm_retrieval_tpu.parallel.mesh import MODEL_AXIS
+from hm_retrieval_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
 
 
 def shard_candidates(
@@ -57,11 +57,16 @@ def make_distributed_topk(
     method: str = "xla",
     interpret: bool = False,
     compute_dtype=None,
+    data_sharded_queries: bool = False,
 ):
     """Returns topk(queries, emb, ids, bias) -> (scores (B,k), ids (B,k)).
 
-    ``queries`` replicated; ``emb``/``ids``/``bias`` row-sharded as placed
-    by ``shard_candidates``.
+    ``queries`` replicated (or sharded ``P("data")`` with
+    ``data_sharded_queries=True`` — each data-axis group then scores only
+    its B/D query rows against every catalog shard, the 2-D
+    DP-over-queries x MP-over-catalog layout; B must divide by the data
+    axis size); ``emb``/``ids``/``bias`` row-sharded as placed by
+    ``shard_candidates``.
 
     ``method``: "xla" materializes each shard's (B, N/S) score block and
     takes ``lax.top_k``; "pallas" runs the streaming bin-max kernel
@@ -120,16 +125,17 @@ def make_distributed_topk(
         ms, sel = jax.lax.top_k(flat_s, k)
         return ms, jnp.take_along_axis(flat_i, sel, axis=1)
 
+    q_spec = P(DATA_AXIS) if data_sharded_queries else P()
     return shard_map(
         local,
         mesh=mesh,
         in_specs=(
-            P(),
+            q_spec,
             P(MODEL_AXIS, None),
             P(MODEL_AXIS),
             P(MODEL_AXIS),
         ),
-        out_specs=(P(), P()),
+        out_specs=(q_spec, q_spec),
         check_vma=False,
     )
 
@@ -186,10 +192,13 @@ def make_distributed_quantized_topk(
     method: str = "scan",
     interpret: bool = False,
     pallas_rounds: int = 1,
+    data_sharded_queries: bool = False,
 ):
     """Returns topk(queries, codes, scales, emb_or_None, ids, bias) ->
     ((B, k) scores, (B, k) ids) over shards placed by
-    ``shard_candidates_quantized``.
+    ``shard_candidates_quantized``. ``data_sharded_queries`` shards the
+    query batch ``P("data")`` (DP-over-queries x MP-over-catalog; B must
+    divide by the data axis size) instead of replicating it.
 
     Per shard: an int8 catalog scan selects ``oversample * k``
     survivors — ``method="scan"`` is the int8 x int8 MXU scan with a
@@ -280,19 +289,21 @@ def make_distributed_quantized_topk(
         ms, sel = jax.lax.top_k(flat_s, k)
         return ms, jnp.take_along_axis(flat_i, sel, axis=1)
 
+    q_spec = P(DATA_AXIS) if data_sharded_queries else P()
+
     def topk(queries, codes, scales, emb, ids, bias):
         if emb is None:
             fn = shard_map(
                 lambda q, c, s, i, b: local(q, c, s, None, i, b),
                 mesh=mesh,
                 in_specs=(
-                    P(),
+                    q_spec,
                     P(MODEL_AXIS, None),
                     P(MODEL_AXIS),
                     P(MODEL_AXIS),
                     P(MODEL_AXIS),
                 ),
-                out_specs=(P(), P()),
+                out_specs=(q_spec, q_spec),
                 check_vma=False,
             )
             return fn(queries, codes, scales, ids, bias)
@@ -300,14 +311,14 @@ def make_distributed_quantized_topk(
             local,
             mesh=mesh,
             in_specs=(
-                P(),
+                q_spec,
                 P(MODEL_AXIS, None),
                 P(MODEL_AXIS),
                 P(MODEL_AXIS, None),
                 P(MODEL_AXIS),
                 P(MODEL_AXIS),
             ),
-            out_specs=(P(), P()),
+            out_specs=(q_spec, q_spec),
             check_vma=False,
         )
         return fn(queries, codes, scales, emb, ids, bias)

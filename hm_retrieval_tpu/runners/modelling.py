@@ -84,14 +84,32 @@ def build_index(
     candidate_batch_size: int,
     k: int,
     index_type: str = "brute_force",
+    mesh=None,
+    distributed: bool = False,
 ):
     """Embed the full catalog with the candidate tower in fixed-size
     batches (ref: runner.py:88-93 + brute_force.py:31-52).
-    ``index_type`` picks the family (ModelConfig.index_type):
-    exact brute force or the int8 quantized scan index."""
-    from hm_retrieval_tpu.indices import INDEX_TYPES
+    ``index_type`` picks the family (ModelConfig.index_type): exact
+    brute force or the int8 quantized scan index. ``distributed=True``
+    places the catalog row-sharded over ``mesh``'s model axis and serves
+    retrieval through the collective top-k merge
+    (indices/distributed.py) — the layout for catalogs bigger than one
+    chip's HBM."""
+    if distributed:
+        if mesh is None:
+            raise ValueError(
+                "distributed index requires a mesh (make_mesh with a "
+                "model axis)"
+            )
+        from hm_retrieval_tpu.indices import DISTRIBUTED_INDEX_TYPES
 
-    index_cls = INDEX_TYPES[index_type]
+        index_cls = DISTRIBUTED_INDEX_TYPES[index_type]
+        extra = {"mesh": mesh}
+    else:
+        from hm_retrieval_tpu.indices import INDEX_TYPES
+
+        index_cls = INDEX_TYPES[index_type]
+        extra = {}
     cand_fn = jax.jit(model.candidate_forward)
 
     def batches():
@@ -104,6 +122,7 @@ def build_index(
         lambda b: cand_fn(params, {k_: jax.numpy.asarray(v) for k_, v in b.items()}),
         batches(),
         candidate_batch_size,
+        **extra,
     )
 
 
@@ -154,12 +173,13 @@ def evaluate(
 
 
 def evaluation_runner(
-    settings: Settings, mesh=None
+    settings: Settings, mesh=None, distributed_index: bool = False
 ) -> Dict[int, float]:
     """Eval-only stage: restore the latest checkpoint, rebuild the index
     from the candidate tower, evaluate Recall@K, refresh the index
     artifact. No training. (No reference analog — the reference can only
-    evaluate inside its train loop.)"""
+    evaluate inside its train loop.) ``distributed_index`` row-shards the
+    catalog over ``mesh``'s model axis (indices/distributed.py)."""
     schema = Schema.load(settings.schema_dirpath)
     tc, mc = schema.training_config, schema.model_config
     test_ds = ShardDataset(settings.test_shards_dirpath)
@@ -209,6 +229,10 @@ def evaluation_runner(
     ckpt = CheckpointManager(settings.checkpoint_dirpath)
     state = ckpt.restore(state)
     ckpt.close()
+    if mesh is not None and not sharded_feats:
+        # mesh eval of a single-device checkpoint: replicate params so
+        # the tower forward runs against mesh-sharded batches
+        state = jax.device_put(state, replicated(mesh))
 
     index = build_index(
         model,
@@ -217,6 +241,8 @@ def evaluation_runner(
         tc.candidate_batch_size,
         min(max(mc.ks), cand_ds.num_rows),
         index_type=mc.index_type,
+        mesh=mesh,
+        distributed=distributed_index,
     )
     res = evaluate(
         model,
@@ -236,13 +262,20 @@ def modelling_runner(
     settings: Settings,
     mesh=None,
     resume: bool = False,
+    distributed_index: bool = False,
 ) -> Dict[str, Dict[int, float]]:
     """Full train+eval stage (ref: modelling_runner,
     pkg/modelling/runner.py:18-107). Returns {"initial": recalls,
-    "final": recalls}."""
+    "final": recalls}. ``distributed_index`` serves every eval (and the
+    saved artifact) from a catalog row-sharded over ``mesh``'s model
+    axis instead of a replicated single-device index."""
     schema = Schema.load(settings.schema_dirpath)
     tc = schema.training_config
     mc = schema.model_config
+    if distributed_index and mesh is None:
+        raise ValueError(
+            "distributed_index=True requires a mesh (make_mesh)"
+        )
 
     if settings.savedmodel_dirpath:
         # fail fast BEFORE training: an unexportable schema must not
@@ -408,6 +441,8 @@ def modelling_runner(
                 tc.candidate_batch_size,
                 min(index_k, cand_ds.num_rows),
                 index_type=mc.index_type,
+                mesh=mesh,
+                distributed=distributed_index,
             )
             res = evaluate(
                 model,
@@ -475,6 +510,8 @@ def modelling_runner(
             tc.candidate_batch_size,
             min(index_k, cand_ds.num_rows),
             index_type=mc.index_type,
+            mesh=mesh,
+            distributed=distributed_index,
         )
         results["final"] = evaluate(
             model,
@@ -500,10 +537,16 @@ def modelling_runner(
                 )
 
                 final_params = unpad_params(state.params, model)
+            export_index = index
+            if distributed_index:
+                # the SavedModel deployment artifact is single-device
+                # by contract (TF-Serving); collapse the sharded
+                # catalog back to the replicated layout for export
+                export_index = index.to_local()
             export_index_savedmodel(
                 schema,
                 final_params["query_tower"],
-                index,
+                export_index,
                 settings.savedmodel_dirpath,
             )
         return results

@@ -57,18 +57,35 @@ class RetrievalService:
         schema_dirpath: str,
         model_dirpath: str,
         index_dirpath: str,
+        mesh=None,
+        distributed_index: bool = False,
     ) -> "RetrievalService":
+        """``distributed_index=True`` re-shards the saved catalog over
+        ``mesh``'s model axis and serves through the collective top-k
+        merge (indices/distributed.py) — the serving layout for
+        catalogs bigger than one chip's HBM. Index artifacts are
+        interchangeable between the two layouts."""
         schema = Schema.load(schema_dirpath)
         params = load_pytree_npz(
             f"{model_dirpath}/query_tower/params.npz"
         )
-        from hm_retrieval_tpu.indices import load_index
+        if distributed_index:
+            if mesh is None:
+                raise ValueError(
+                    "distributed_index=True requires a mesh"
+                )
+            from hm_retrieval_tpu.indices import load_distributed_index
 
-        index = load_index(index_dirpath)
+            index = load_distributed_index(index_dirpath, mesh)
+        else:
+            from hm_retrieval_tpu.indices import load_index
+
+            index = load_index(index_dirpath)
         logger.info(
-            "Loaded retrieval service: %d candidates, k=%d",
+            "Loaded retrieval service: %d candidates, k=%d%s",
             index.num_candidates,
             index.k,
+            " (mesh-sharded catalog)" if distributed_index else "",
         )
         return cls(schema, params, index)
 

@@ -1,0 +1,224 @@
+"""Mesh-sharded index classes (indices/distributed.py): parity with the
+single-device indices, artifact interchangeability, and real sharding —
+the product surface of SURVEY §2.9's "distributed top-k retrieval"."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import PartitionSpec as P
+
+from hm_retrieval_tpu.indices import (
+    BruteForceIndex,
+    DistributedBruteForceIndex,
+    DistributedQuantizedIndex,
+    QuantizedIndex,
+    load_distributed_index,
+    load_index,
+)
+from hm_retrieval_tpu.parallel import make_mesh
+
+
+@pytest.fixture(scope="module")
+def catalog():
+    rng = np.random.default_rng(7)
+    N, E = 1500, 16  # N not divisible by 8 -> shard padding in play
+    emb = rng.normal(size=(N, E)).astype(np.float32)
+    ids = np.arange(1, N + 1, dtype=np.int32)
+    q = rng.normal(size=(8, E)).astype(np.float32)
+    return ids, emb, q
+
+
+class TestDistributedBruteForce:
+    @pytest.mark.parametrize(
+        "mesh_shape", [(1, 8), (2, 4), (8, 1)]
+    )
+    def test_matches_single_device(self, catalog, mesh_shape):
+        ids, emb, q = catalog
+        k = 20
+        ref = BruteForceIndex(k, ids, emb, method="full")
+        s_ref, i_ref = ref.topk_from_embeddings(jnp.asarray(q))
+
+        mesh = make_mesh(data=mesh_shape[0], model=mesh_shape[1])
+        dist = DistributedBruteForceIndex(
+            k, ids, emb, mesh=mesh, method="xla"
+        )
+        s, i = dist.topk_from_embeddings(jnp.asarray(q))
+        np.testing.assert_allclose(
+            np.asarray(s), np.asarray(s_ref), rtol=1e-5, atol=1e-5
+        )
+        np.testing.assert_array_equal(
+            np.asarray(i), np.asarray(i_ref)
+        )
+
+    def test_pallas_method_matches(self, catalog):
+        ids, emb, q = catalog
+        k = 10
+        mesh = make_mesh(data=2, model=4)
+        ref = BruteForceIndex(k, ids, emb, method="full")
+        s_ref, i_ref = ref.topk_from_embeddings(jnp.asarray(q))
+        dist = DistributedBruteForceIndex(
+            k,
+            ids,
+            emb,
+            mesh=mesh,
+            method="pallas",
+            interpret=True,
+            compute_dtype=jnp.float32,
+        )
+        s, i = dist.topk_from_embeddings(jnp.asarray(q))
+        np.testing.assert_allclose(
+            np.asarray(s), np.asarray(s_ref), rtol=1e-5, atol=1e-5
+        )
+        np.testing.assert_array_equal(
+            np.asarray(i), np.asarray(i_ref)
+        )
+
+    def test_query_batch_not_divisible_by_data_axis(self, catalog):
+        """B=5 on a data=4 axis: the index pads queries internally and
+        slices the results back."""
+        ids, emb, q = catalog
+        k = 7
+        mesh = make_mesh(data=4, model=2)
+        dist = DistributedBruteForceIndex(k, ids, emb, mesh=mesh)
+        ref = BruteForceIndex(k, ids, emb, method="full")
+        s, i = dist.topk_from_embeddings(jnp.asarray(q[:5]))
+        s_ref, i_ref = ref.topk_from_embeddings(jnp.asarray(q[:5]))
+        assert s.shape == (5, k)
+        np.testing.assert_array_equal(
+            np.asarray(i), np.asarray(i_ref)
+        )
+
+    def test_catalog_actually_sharded(self, catalog):
+        ids, emb, q = catalog
+        mesh = make_mesh(data=1, model=8)
+        dist = DistributedBruteForceIndex(10, ids, emb, mesh=mesh)
+        assert dist._emb.sharding.spec == P("model", None)
+        shard_rows = {
+            s.data.shape[0] for s in dist._emb.addressable_shards
+        }
+        # 1500 rows pad to 1504 = 8 * 188: every device holds 188 rows
+        assert shard_rows == {188}
+
+    def test_save_load_interchangeable(self, catalog, tmp_path):
+        """distributed save -> single-device load AND single-device
+        save -> distributed load both reproduce the same results."""
+        ids, emb, q = catalog
+        k = 10
+        mesh = make_mesh(data=2, model=4)
+        dist = DistributedBruteForceIndex(k, ids, emb, mesh=mesh)
+        _, i_ref = dist.topk_from_embeddings(jnp.asarray(q))
+
+        d1 = str(tmp_path / "dist_saved")
+        dist.save(d1)
+        local = load_index(d1)
+        assert isinstance(local, BruteForceIndex)
+        _, i_local = local.topk_from_embeddings(jnp.asarray(q))
+        np.testing.assert_array_equal(
+            np.asarray(i_local), np.asarray(i_ref)
+        )
+
+        d2 = str(tmp_path / "local_saved")
+        local.save(d2)
+        dist2 = load_distributed_index(d2, mesh)
+        assert isinstance(dist2, DistributedBruteForceIndex)
+        _, i2 = dist2.topk_from_embeddings(jnp.asarray(q))
+        np.testing.assert_array_equal(
+            np.asarray(i2), np.asarray(i_ref)
+        )
+
+    def test_validation(self, catalog):
+        ids, emb, _ = catalog
+        mesh = make_mesh(data=1, model=8)
+        with pytest.raises(ValueError, match="mesh"):
+            DistributedBruteForceIndex(10, ids, emb, mesh=None)
+        with pytest.raises(ValueError, match="method"):
+            DistributedBruteForceIndex(
+                10, ids, emb, mesh=mesh, method="nope"
+            )
+        with pytest.raises(ValueError, match="exceeds"):
+            DistributedBruteForceIndex(
+                len(ids) + 1, ids, emb, mesh=mesh
+            )
+
+
+class TestDistributedQuantized:
+    def test_recall_vs_exact_oracle(self, catalog):
+        ids, emb, q = catalog
+        k = 20
+        mesh = make_mesh(data=2, model=4)
+        ref = BruteForceIndex(k, ids, emb, method="full")
+        _, i_ref = ref.topk_from_embeddings(jnp.asarray(q))
+        dist = DistributedQuantizedIndex(
+            k, ids, emb, mesh=mesh, method="scan"
+        )
+        _, i_q = dist.topk_from_embeddings(jnp.asarray(q))
+        ref_sets = [set(r) for r in np.asarray(i_ref)]
+        got_sets = [set(r) for r in np.asarray(i_q)]
+        recall = np.mean(
+            [len(a & b) / k for a, b in zip(ref_sets, got_sets)]
+        )
+        assert recall >= 0.99
+
+    def test_rescore_false_drops_fp32(self, catalog):
+        ids, emb, q = catalog
+        mesh = make_mesh(data=1, model=8)
+        dist = DistributedQuantizedIndex(
+            10, ids, emb, mesh=mesh, rescore=False, method="scan"
+        )
+        assert dist._placed[2] is None  # no fp32 shards
+        s, i = dist.topk_from_embeddings(jnp.asarray(q))
+        assert np.isfinite(np.asarray(s)).all()
+
+    def test_save_load_interchangeable(self, catalog, tmp_path):
+        ids, emb, q = catalog
+        k = 10
+        mesh = make_mesh(data=2, model=4)
+        dist = DistributedQuantizedIndex(
+            k, ids, emb, mesh=mesh, method="scan"
+        )
+        _, i_ref = dist.topk_from_embeddings(jnp.asarray(q))
+
+        d1 = str(tmp_path / "dq_saved")
+        dist.save(d1)
+        local = load_index(d1)
+        assert isinstance(local, QuantizedIndex)
+        _, i_local = local.topk_from_embeddings(jnp.asarray(q))
+        # both rescore survivors in fp32; survivor sets may differ at
+        # the margin -> compare as sets with near-total overlap
+        overlap = np.mean(
+            [
+                len(set(a) & set(b)) / k
+                for a, b in zip(
+                    np.asarray(i_ref), np.asarray(i_local)
+                )
+            ]
+        )
+        assert overlap >= 0.99
+
+        dist2 = load_distributed_index(d1, mesh, method="scan")
+        assert isinstance(dist2, DistributedQuantizedIndex)
+        _, i2 = dist2.topk_from_embeddings(jnp.asarray(q))
+        np.testing.assert_array_equal(
+            np.asarray(i2), np.asarray(i_ref)
+        )
+
+    def test_save_load_no_rescore(self, catalog, tmp_path):
+        """rescore=False artifacts store no fp32 table; reload
+        reconstructs the catalog from the codes losslessly."""
+        ids, emb, q = catalog
+        mesh = make_mesh(data=1, model=8)
+        dist = DistributedQuantizedIndex(
+            10, ids, emb, mesh=mesh, rescore=False, method="scan"
+        )
+        d = str(tmp_path / "dq_norescore")
+        dist.save(d)
+        with np.load(f"{d}/index.npz") as z:
+            assert "embeddings" not in z.files
+        dist2 = load_distributed_index(d, mesh, method="scan")
+        assert dist2.rescore is False
+        _, i1 = dist.topk_from_embeddings(jnp.asarray(q))
+        _, i2 = dist2.topk_from_embeddings(jnp.asarray(q))
+        np.testing.assert_array_equal(
+            np.asarray(i1), np.asarray(i2)
+        )

@@ -243,6 +243,57 @@ class TestMeshPipeline:
             < 0.15
         )
 
+    def test_distributed_index_eval_bit_identical(self, pipeline):
+        """Eval-only stage with the catalog row-sharded over a 2x4
+        mesh: identical params -> recall BIT-IDENTICAL to the
+        single-device index (the distributed layer as a product
+        feature, not just a library)."""
+        import dataclasses
+
+        from hm_retrieval_tpu.parallel import make_mesh
+        from hm_retrieval_tpu.runners import evaluation_runner
+
+        settings, _, _ = pipeline
+        settings_d = dataclasses.replace(
+            settings,
+            index_dirpath=settings.index_dirpath + "_dist",
+        )
+        res_single = evaluation_runner(settings)
+        mesh = make_mesh(data=2, model=4)
+        res_dist = evaluation_runner(
+            settings_d, mesh=mesh, distributed_index=True
+        )
+        assert res_dist == res_single
+        # the refreshed artifact is single-device-compatible
+        from hm_retrieval_tpu.indices import load_index
+
+        idx = load_index(settings_d.index_dirpath)
+        assert idx.num_candidates > 0
+
+    def test_modelling_runner_distributed_index(self, pipeline):
+        """Full train+eval with --distributed-index semantics: every
+        eval runs through the mesh-sharded index."""
+        import dataclasses
+
+        from hm_retrieval_tpu.parallel import make_mesh
+
+        settings, single_results, _ = pipeline
+        settings_di = dataclasses.replace(
+            settings,
+            checkpoint_dirpath=settings.checkpoint_dirpath + "_di",
+            model_dirpath=settings.model_dirpath + "_di",
+            index_dirpath=settings.index_dirpath + "_di",
+        )
+        mesh = make_mesh(data=2, model=4)
+        results = modelling_runner(
+            settings_di, mesh=mesh, distributed_index=True
+        )
+        assert results["final"][50] > results["initial"][50]
+        assert (
+            abs(results["final"][50] - single_results["final"][50])
+            < 0.15
+        )
+
     def test_modelling_runner_row_sharded_tables(self, pipeline):
         """Train+eval with the big id tables row-sharded over a 2x4
         data x model mesh (sharded_embedding_features config knob) —

@@ -48,6 +48,39 @@ class TestRetrievalService:
                 {"customer_id": ["a"]}, k=service.index.k + 1
             )
 
+    def test_distributed_serving_matches_single_device(
+        self, service, pipeline  # noqa: F811
+    ):
+        """Service with the catalog row-sharded over the 8-device mesh
+        returns the same results as the single-device service (same
+        artifacts, different placement)."""
+        from hm_retrieval_tpu.parallel import make_mesh
+
+        settings, _, _ = pipeline
+        mesh = make_mesh(data=2, model=4)
+        dist = RetrievalService.load(
+            settings.schema_dirpath,
+            settings.model_dirpath,
+            settings.index_dirpath,
+            mesh=mesh,
+            distributed_index=True,
+        )
+        cust = service.schema.feature("customer_id").vocab[:3]
+        query = {"customer_id": list(cust)}
+        assert dist.retrieve(query, k=5) == service.retrieve(
+            query, k=5
+        )
+
+    def test_distributed_load_requires_mesh(self, pipeline):  # noqa: F811
+        settings, _, _ = pipeline
+        with pytest.raises(ValueError, match="mesh"):
+            RetrievalService.load(
+                settings.schema_dirpath,
+                settings.model_dirpath,
+                settings.index_dirpath,
+                distributed_index=True,
+            )
+
     def test_results_are_model_ranked(self, service, pipeline):  # noqa: F811
         # service output must equal index top-k on the same query
         settings, _, _ = pipeline
