@@ -7,7 +7,6 @@ Usage: timeout 2400 python benchmarks/tune_qblock2.py
 import json
 import os
 import sys
-import time
 
 sys.path.insert(
     0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -29,7 +28,6 @@ from hm_retrieval_tpu.ops.pallas_retrieval import (
 )
 
 B, E, K = 1024, 128, 100
-ITERS = 50
 
 
 @jax.jit
@@ -42,36 +40,9 @@ def quantize_on_device(c):
     return codes, scales.astype(jnp.float32)
 
 
-def time_fn(fn, q, arrays, iters=ITERS):
-    @jax.jit
-    def run(q, arrays, salt):
-        def body(acc, i):
-            qq = jnp.roll(q, i + salt, axis=0)
-            s, out_ids = fn(qq, arrays)
-            return (
-                acc + s[0, 0] + out_ids[0, 0].astype(jnp.float32),
-                None,
-            )
-
-        acc, _ = jax.lax.scan(body, 0.0, jnp.arange(iters))
-        return acc
-
-    float(run(q, arrays, jnp.int32(0)))
-    dt = float("inf")
-    for salt in (1, 2):
-        t0 = time.time()
-        float(run(q, arrays, jnp.int32(salt)))
-        dt = min(dt, (time.time() - t0) / iters)
-    return dt
-
-
-def recall_vs(want_ids, got_ids):
-    want, got = np.asarray(want_ids), np.asarray(got_ids)
-    hits = sum(
-        len(set(w.tolist()) & set(g.tolist()))
-        for w, g in zip(want, got)
-    )
-    return hits / want.size
+# shared harness: full-output consumption keeps every query block live
+# (a [0,0]-only consumer lets XLA DCE blocks 2..n of the blocked driver)
+from timing_util import recall_vs, time_fn  # noqa: E402
 
 
 def make_variant(k_over, rescore, q_block, L):
