@@ -140,6 +140,123 @@ def available() -> bool:
     return _load() is not None
 
 
+# ---------------------------------------------------------------------
+# _seqencode: CPython extension for the token/sequence encode hot path
+# (native/seqencode.cpp). Reads Python str tokens IN PLACE (no numpy
+# U/S-dtype materialization) and looks them up in a flat hash table with
+# the GIL released across threads.
+# ---------------------------------------------------------------------
+_SEQ_SRC = os.path.join(os.path.dirname(_SRC), "seqencode.cpp")
+_SEQ_LIB_PATH = os.path.join(
+    os.path.dirname(__file__), "_seqencode.so"
+)
+_seq_mod = None
+_seq_tried = False
+
+
+def _build_seq() -> bool:
+    import sysconfig
+
+    try:
+        subprocess.run(
+            [
+                "g++",
+                "-O3",
+                "-std=c++17",
+                "-fPIC",
+                "-pthread",
+                "-shared",
+                f"-I{sysconfig.get_paths()['include']}",
+                "-o",
+                _SEQ_LIB_PATH,
+                _SEQ_SRC,
+            ],
+            check=True,
+            capture_output=True,
+            timeout=120,
+        )
+        return True
+    except Exception as e:
+        logger.warning("native seqencode build failed: %s", e)
+        return False
+
+
+def _load_seq():
+    global _seq_mod, _seq_tried
+    with _lock:
+        if _seq_mod is not None or _seq_tried:
+            return _seq_mod
+        _seq_tried = True
+        if not os.path.exists(_SEQ_LIB_PATH) or (
+            os.path.exists(_SEQ_SRC)
+            and os.path.getmtime(_SEQ_SRC)
+            > os.path.getmtime(_SEQ_LIB_PATH)
+        ):
+            if not os.path.exists(_SEQ_SRC) or not _build_seq():
+                return None
+        try:
+            import importlib.machinery
+            import importlib.util
+
+            loader = importlib.machinery.ExtensionFileLoader(
+                "_seqencode", _SEQ_LIB_PATH
+            )
+            spec = importlib.util.spec_from_file_location(
+                "_seqencode", _SEQ_LIB_PATH, loader=loader
+            )
+            mod = importlib.util.module_from_spec(spec)
+            loader.exec_module(mod)
+        except Exception as e:
+            logger.warning("native seqencode load failed: %s", e)
+            return None
+        _seq_mod = mod
+        logger.info(
+            "native seqencode extension loaded (%s)", _SEQ_LIB_PATH
+        )
+        return _seq_mod
+
+
+def seq_available() -> bool:
+    return _load_seq() is not None
+
+
+class NativeSeqVocab:
+    """token -> id map for the C-extension encoder; id 0 = OOV.
+
+    Unlike NativeVocab (ctypes + fixed-width byte matrices), lookups
+    read Python str objects in place — the fast path for object-dtype
+    pandas columns and list-of-list history cells."""
+
+    def __init__(self, vocab: np.ndarray):
+        mod = _load_seq()
+        if mod is None:
+            raise RuntimeError("native seqencode unavailable")
+        self._mod = mod
+        fixed = _to_fixed_bytes(np.asarray(vocab, dtype=str))
+        self._capsule = mod.vocab_create(
+            fixed.tobytes(), fixed.dtype.itemsize, len(fixed)
+        )
+
+    def encode_sequences(
+        self, rows, max_len: int
+    ) -> np.ndarray:
+        """Sequence of per-row token sequences -> (B, max_len) int32,
+        keeping the LAST max_len tokens, right-padded 0."""
+        out = np.zeros((len(rows), max_len), np.int32)
+        if len(rows):
+            self._mod.encode_sequences(
+                self._capsule, rows, max_len, out
+            )
+        return out
+
+    def encode_tokens(self, tokens) -> np.ndarray:
+        """Flat sequence of tokens -> (N,) int32 ids."""
+        out = np.zeros(len(tokens), np.int32)
+        if len(tokens):
+            self._mod.encode_tokens(self._capsule, tokens, out)
+        return out
+
+
 def _to_fixed_bytes(tokens: np.ndarray) -> np.ndarray:
     """str array -> contiguous fixed-width byte matrix (S dtype).
     Fast ASCII path via astype; utf-8 fallback for non-ASCII tokens."""

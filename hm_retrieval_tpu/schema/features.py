@@ -91,6 +91,13 @@ class Feature:
     _native_for: object = field(
         default=None, repr=False, compare=False
     )
+    # CPython-extension encoder (zero-copy token reads; sequences)
+    _seq_native: object = field(
+        default=None, repr=False, compare=False
+    )
+    _seq_native_for: object = field(
+        default=None, repr=False, compare=False
+    )
 
     def __post_init__(self):
         self.kind = FeatureKind(self.kind)
@@ -204,8 +211,16 @@ class Feature:
     def encode(self, values) -> np.ndarray:
         """String tokens -> int32 ids (0 = OOV). Host-side replacement for
         the reference's on-graph StringLookup (ref: input_layer.py:33-36).
-        Uses the thread-parallel C++ encoder (native/shardio.cpp) when the
-        toolchain is available; the pandas path is the exact fallback."""
+        Object-dtype inputs (the pandas common case) go through the
+        CPython-extension encoder (native/seqencode.cpp), which reads
+        tokens in place; otherwise the thread-parallel C++ fixed-width
+        encoder (native/shardio.cpp); the pandas path is the exact
+        fallback."""
+        raw = np.asarray(values)
+        if raw.dtype.kind == "O":
+            seq_native = self._seq_native_encoder()
+            if seq_native is not None:
+                return seq_native.encode_tokens(raw.ravel())
         arr = np.asarray(values, dtype=str).ravel()
         native = self._native_encoder()
         if native is not None:
@@ -229,16 +244,88 @@ class Feature:
             self._native_for = self.vocab
         return self._native
 
+    def _seq_native_encoder(self):
+        """The CPython-extension encoder (native/seqencode.cpp): reads
+        Python str tokens in place, no numpy string materialization —
+        the hot path for object-dtype columns and history cells."""
+        if self.vocab is None:
+            raise ValueError(f"feature {self.name!r} has no vocab")
+        try:
+            from hm_retrieval_tpu import native_ext
+        except Exception:
+            return None
+        if not native_ext.seq_available():
+            return None
+        if (
+            self._seq_native is None
+            or self._seq_native_for is not self.vocab
+        ):
+            self._seq_native = native_ext.NativeSeqVocab(self.vocab)
+            self._seq_native_for = self.vocab
+        return self._seq_native
+
     def encode_sequence(self, values) -> np.ndarray:
         """Iterable of token lists -> (B, max_len) int32, keeping the LAST
         ``max_len`` tokens, right-padded with 0 (pad == OOV; pooling masks
-        id 0)."""
+        id 0).
+
+        Vectorized: rows are flattened into ONE token vector, encoded in
+        a single ``encode`` call (thread-parallel C++ when available),
+        and scattered back — the serialization hot path must not starve
+        chips (SURVEY §7 hard part #6; the reference's per-row proto
+        loop is its known bottleneck,
+        ref: pkg/tfrecord_writer/tfrecord_writer.py:105-126)."""
+        if self.kind != FeatureKind.SEQUENCE:
+            raise ValueError(f"{self.name!r} is not a sequence feature")
+        n = len(values)
+        out = np.zeros((n, self.max_len), np.int32)
+        if n == 0:
+            return out
+        seq_native = self._seq_native_encoder()
+        if seq_native is not None:
+            # single C pass: truncate + read tokens in place + parallel
+            # hash lookups with the GIL released
+            return seq_native.encode_sequences(values, self.max_len)
+        # Vectorized numpy fallback — one O(B) pass truncates to the
+        # last max_len tokens per row and flattens (missing cells arrive
+        # as None or float NaN from pandas), then ONE encode call
+        trunc = []
+        for toks in values:
+            if toks is None or (
+                isinstance(toks, float) and np.isnan(toks)
+            ):
+                trunc.append(())
+            else:
+                trunc.append(tuple(toks)[-self.max_len:])
+        lens = np.fromiter(
+            (len(t) for t in trunc), np.int64, count=n
+        )
+        total = int(lens.sum())
+        if total == 0:
+            return out
+        import itertools
+
+        flat = np.fromiter(
+            itertools.chain.from_iterable(trunc),
+            dtype=object,
+            count=total,
+        )
+        ids = self.encode(flat)
+        row_idx = np.repeat(np.arange(n), lens)
+        starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+        col_idx = np.arange(total) - np.repeat(starts, lens)
+        out[row_idx, col_idx] = ids
+        return out
+
+    def _encode_sequence_loop(self, values) -> np.ndarray:
+        """Reference implementation of ``encode_sequence`` (per-row,
+        per-token dict lookups). Kept as the parity oracle for tests and
+        the benchmark in benchmarks/bench_sequence_encode.py."""
         if self.kind != FeatureKind.SEQUENCE:
             raise ValueError(f"{self.name!r} is not a sequence feature")
         table = self._lookup()
         out = np.zeros((len(values), self.max_len), np.int32)
         for r, toks in enumerate(values):
-            # pandas encodes missing list cells as float NaN
             if toks is None or (
                 isinstance(toks, float) and np.isnan(toks)
             ):

@@ -90,6 +90,84 @@ class TestSequenceEncoding:
             ],
         )
 
+    def test_vectorized_matches_loop_oracle(self):
+        """The vectorized encode_sequence must reproduce the per-token
+        loop implementation exactly, including ragged rows, missing
+        cells (None / NaN), OOV tokens, and non-string tokens."""
+        rng = np.random.default_rng(3)
+        f = Feature(
+            "history",
+            FeatureKind.SEQUENCE,
+            FeatureFamily.QUERY,
+            embedding_size=4,
+            max_len=5,
+            vocab=np.array([f"t{i}" for i in range(20)]),
+        )
+        values = []
+        for _ in range(500):
+            r = rng.random()
+            if r < 0.05:
+                values.append(None)
+            elif r < 0.1:
+                values.append(float("nan"))
+            elif r < 0.15:
+                values.append([])
+            elif r < 0.2:
+                values.append([123, 456])  # non-string tokens
+            else:
+                ln = int(rng.integers(1, 12))
+                values.append(
+                    [
+                        f"t{rng.integers(0, 25)}"  # some OOV
+                        for _ in range(ln)
+                    ]
+                )
+        np.testing.assert_array_equal(
+            f.encode_sequence(values),
+            f._encode_sequence_loop(values),
+        )
+
+    def test_numpy_fallback_matches_native(self, monkeypatch):
+        """The numpy fallback (native extension unavailable) must agree
+        with the native path and the loop oracle."""
+        from hm_retrieval_tpu import native_ext
+
+        f = Feature(
+            "history",
+            FeatureKind.SEQUENCE,
+            FeatureFamily.QUERY,
+            embedding_size=4,
+            max_len=4,
+            vocab=np.array(["a", "b", "c"]),
+        )
+        values = [["a", "b"], None, ["c", "zz", "a", "b", "c"], []]
+        native_out = f.encode_sequence(values)
+        monkeypatch.setattr(native_ext, "seq_available", lambda: False)
+        f2 = Feature(
+            "history",
+            FeatureKind.SEQUENCE,
+            FeatureFamily.QUERY,
+            embedding_size=4,
+            max_len=4,
+            vocab=np.array(["a", "b", "c"]),
+        )
+        fallback_out = f2.encode_sequence(values)
+        np.testing.assert_array_equal(fallback_out, native_out)
+        np.testing.assert_array_equal(
+            fallback_out, f2._encode_sequence_loop(values)
+        )
+
+    def test_encode_sequence_empty_input(self):
+        f = Feature(
+            "history",
+            FeatureKind.SEQUENCE,
+            FeatureFamily.QUERY,
+            embedding_size=4,
+            max_len=3,
+            vocab=np.array(["a"]),
+        )
+        assert f.encode_sequence([]).shape == (0, 3)
+
     def test_shared_vocab_wiring(self):
         schema = Schema(
             features=[
