@@ -263,7 +263,16 @@ def bench_retrieval(
                     qq, c.T, preferred_element_type=jnp.float32
                 )
                 v, idx, r = exact_topk_scores(s, K)
-            return carry + v[0, 0] + idx[0, 0] + r, None
+            # consume EVERY output element: a [0,0]-only consumer lets
+            # XLA dead-code-eliminate whole query blocks of the blocked
+            # driver (benchmarks/timing_util.py)
+            return (
+                carry
+                + jnp.sum(v)
+                + jnp.sum(idx).astype(jnp.float32)
+                + r,
+                None,
+            )
         acc, _ = jax.lax.scan(body, 0.0, jnp.arange(iters))
         return acc
 
@@ -276,6 +285,80 @@ def bench_retrieval(
         "retrieval_ms_per_batch": dt * 1e3,
         "retrieval_method": method,
         "retrieval_config": {"B": B, "N": N, "E": E, "K": K},
+    }
+
+
+def bench_quantized(iters: int, B: int, N: int, E: int, K: int,
+                    oversample: int = 2):
+    """Quantized-index retrieval (int8 catalog stream + fp32 rescore of
+    the oversampled survivors — the indices/quantized.py production
+    path, measured at the kernel level)."""
+    from hm_retrieval_tpu.ops.pallas_retrieval import (
+        pallas_quantized_topk,
+    )
+
+    c = jax.jit(
+        lambda: jax.random.normal(
+            jax.random.PRNGKey(1), (N, E), jnp.float32
+        )
+    )()
+
+    @jax.jit
+    def quantize(c):
+        scales = jnp.max(jnp.abs(c), axis=1) / 127.0
+        scales = jnp.where(scales > 0, scales, 1.0)
+        codes = jnp.clip(
+            jnp.rint(c / scales[:, None]), -127, 127
+        ).astype(jnp.int8)
+        return codes, scales.astype(jnp.float32)
+
+    codes, scales = quantize(c)
+    q = jax.jit(
+        lambda: jax.random.normal(
+            jax.random.PRNGKey(0), (B, E), jnp.float32
+        )
+    )()
+    jax.block_until_ready((codes, scales, q))
+    k_over = oversample * K
+
+    @jax.jit
+    def run(q, c, codes, scales, salt):
+        def body(carry, i):
+            qq = jnp.roll(q, i + salt, axis=0)
+            v, idx, r = pallas_quantized_topk(
+                qq, codes, scales, k_over, max_rounds=1
+            )
+            rows = jnp.take(c, idx, axis=0)
+            exact = jnp.einsum(
+                "be,bke->bk",
+                qq,
+                rows,
+                preferred_element_type=jnp.float32,
+            )
+            exact = jnp.where(jnp.isneginf(v), -jnp.inf, exact)
+            ts, sel = jax.lax.top_k(exact, K)
+            ti = jnp.take_along_axis(idx, sel, axis=1)
+            return (
+                carry
+                + jnp.sum(ts)
+                + jnp.sum(ti).astype(jnp.float32)
+                + r,
+                None,
+            )
+        acc, _ = jax.lax.scan(body, 0.0, jnp.arange(iters))
+        return acc
+
+    float(run(q, c, codes, scales, jnp.int32(0)))  # compile + warm
+    t0 = time.time()
+    float(run(q, c, codes, scales, jnp.int32(1)))
+    dt = (time.time() - t0) / iters
+    return {
+        "queries_per_s": B / dt,
+        "ms_per_batch": dt * 1e3,
+        "config": {
+            "B": B, "N": N, "E": E, "K": K,
+            "oversample": oversample, "rescore": True,
+        },
     }
 
 
@@ -296,6 +379,12 @@ def main():
         "--retrieval-method",
         default="pallas",
         choices=["pallas", "partial_reduce"],
+    )
+    ap.add_argument(
+        "--quantized",
+        action="store_true",
+        help="also measure the int8 quantized index kernels at the "
+        "1M (E=128) and 10M (E=64) catalog points",
     )
     ap.add_argument(
         "--scale",
@@ -339,23 +428,42 @@ def main():
                 *retrieval_cfg, method=args.retrieval_method
             )
         )
+    if args.quantized:
+        details["quantized_1m"] = bench_quantized(
+            50, 1024, 1_048_576, 128, 100
+        )
+        details["quantized_10m"] = bench_quantized(
+            20, 1024, 10_000_000, 64, 100
+        )
 
     with open("bench_results.json", "w") as f:
         json.dump(details, f, indent=2)
 
     value = details["train_examples_per_s_per_chip"]
-    print(
-        json.dumps(
-            {
-                "metric": "train_examples_per_s_per_chip",
-                "value": round(value, 1),
-                "unit": "examples/s/chip",
-                "vs_baseline": round(
-                    value / TF_CPU_BASELINE_EXAMPLES_PER_S, 3
-                ),
-            }
+    # one line, both headline metrics: training throughput is the
+    # primary (metric/value/unit/vs_baseline schema); retrieval rides
+    # along as extra keys so BENCH_r{N}.json captures it too
+    line = {
+        "metric": "train_examples_per_s_per_chip",
+        "value": round(value, 1),
+        "unit": "examples/s/chip",
+        "vs_baseline": round(
+            value / TF_CPU_BASELINE_EXAMPLES_PER_S, 3
+        ),
+    }
+    if "retrieval_queries_per_s" in details:
+        line["retrieval_queries_per_s"] = round(
+            details["retrieval_queries_per_s"], 1
         )
-    )
+        line["retrieval_ms_per_batch"] = round(
+            details["retrieval_ms_per_batch"], 3
+        )
+    for k in ("quantized_1m", "quantized_10m"):
+        if k in details:
+            line[f"{k}_queries_per_s"] = round(
+                details[k]["queries_per_s"], 1
+            )
+    print(json.dumps(line))
 
 
 if __name__ == "__main__":
