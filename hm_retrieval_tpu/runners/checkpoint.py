@@ -38,13 +38,23 @@ class CheckpointManager:
         )
 
     def save(self, step: int, state: TrainState) -> None:
+        """ASYNC: returns once the device->host snapshot is taken (orbax
+        performs the D2H copy synchronously inside ``save``, so donating
+        or mutating ``state`` afterwards is safe); the disk write
+        overlaps the next epoch's training (SURVEY §5.4). ``close()``
+        and ``restore()`` barrier on in-flight writes."""
         self._mgr.save(
             step, args=ocp.args.StandardSave(state._asdict())
         )
-        self._mgr.wait_until_finished()
         logger.info(
-            "Saved checkpoint step=%d -> %s", step, self.dirpath
+            "Scheduled async checkpoint step=%d -> %s",
+            step,
+            self.dirpath,
         )
+
+    def wait_until_finished(self) -> None:
+        """Block until every scheduled save is durably on disk."""
+        self._mgr.wait_until_finished()
 
     def latest_step(self) -> Optional[int]:
         return self._mgr.latest_step()
@@ -52,7 +62,9 @@ class CheckpointManager:
     def restore(self, abstract_state):
         """Restore the latest checkpoint into the structure/shardings of
         ``abstract_state`` (a freshly-initialized TrainState or
-        SparseTrainState)."""
+        SparseTrainState) — including onto a DIFFERENT mesh than the one
+        that saved: orbax re-shards rows to the target shardings."""
+        self._mgr.wait_until_finished()  # barrier on in-flight saves
         step = self._mgr.latest_step()
         if step is None:
             raise FileNotFoundError(

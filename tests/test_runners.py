@@ -397,6 +397,111 @@ class TestCheckpointResume:
         s1, m1 = step(restored, batch)
         assert np.isfinite(float(m1["loss"]))
 
+    def test_async_save_then_restore_barriers(self, tmp_path):
+        """save() is async (no per-save wait); restore() on the same
+        manager barriers on the in-flight write and round-trips."""
+        model = self._tiny_model()
+        opt = OptimizerFactory.get_optimizer(
+            "adagrad", {"learning_rate": 0.1}
+        )
+        state = create_train_state(model, opt, seed=0)
+        mgr = CheckpointManager(str(tmp_path / "ckpt"))
+        mgr.save(7, state._replace(step=state.step + 7))
+        # no explicit wait: restore must block on the async write
+        restored = mgr.restore(create_train_state(model, opt, seed=1))
+        mgr.close()
+        assert int(restored.step) == 7
+        for a, b in zip(
+            jax.tree.leaves(restored.params),
+            jax.tree.leaves(state.params),
+        ):
+            np.testing.assert_allclose(a, b)
+
+    def test_cross_mesh_restore_row_sharded_sparse(self, tmp_path):
+        """Save a row-sharded SparseTrainState on a 2x4 data x model
+        mesh and restore it into the 1x8 layout: values identical,
+        shardings follow the target mesh (SURVEY §5.4 multi-host-shaped
+        checkpointing)."""
+        from jax.sharding import PartitionSpec as P
+
+        from hm_retrieval_tpu.parallel import (
+            create_sharded_sparse_state,
+            make_mesh,
+            make_sharded_sparse_train_step,
+        )
+
+        # 16-row tables (vocab 15 + OOV): divisible by BOTH model-axis
+        # sizes, so the padded shapes agree across the two meshes
+        model = TwoTowerModel(
+            query_features=[
+                Feature(
+                    "uid",
+                    FeatureKind.CATEGORICAL,
+                    FeatureFamily.QUERY,
+                    embedding_size=4,
+                    vocab=np.array([f"u{i}" for i in range(15)]),
+                )
+            ],
+            candidate_features=[
+                Feature(
+                    "article_id",
+                    FeatureKind.CATEGORICAL,
+                    FeatureFamily.CANDIDATE,
+                    embedding_size=4,
+                    vocab=np.array([f"a{i}" for i in range(15)]),
+                )
+            ],
+            candidate_id_col="article_id",
+            joint_embedding_size=4,
+        )
+        opt = OptimizerFactory.get_optimizer(
+            "adagrad", {"learning_rate": 0.1}
+        )
+        mesh_a = make_mesh(data=2, model=4)
+        feats = ["uid", "article_id"]
+        state = create_sharded_sparse_state(
+            model, opt, mesh_a, feats, seed=0
+        )
+        step = make_sharded_sparse_train_step(
+            model, opt, 0.1, mesh_a, feats
+        )
+        rng = np.random.default_rng(0)
+        batch = {
+            "uid": rng.integers(0, 16, 8).astype(np.int32),
+            "article_id": rng.integers(0, 16, 8).astype(np.int32),
+        }
+        from hm_retrieval_tpu.parallel import shard_batch
+
+        state, _ = step(state, shard_batch(batch, mesh_a))
+        saved_leaves = [
+            np.asarray(x) for x in jax.tree.leaves(state)
+        ]
+
+        mgr = CheckpointManager(str(tmp_path / "ckpt"))
+        mgr.save(int(state.step), state)
+        mgr.close()
+
+        mesh_b = make_mesh(data=1, model=8)
+        fresh = create_sharded_sparse_state(
+            model, opt, mesh_b, feats, seed=3
+        )
+        mgr2 = CheckpointManager(str(tmp_path / "ckpt"))
+        restored = mgr2.restore(fresh)
+        mgr2.close()
+        for a, b in zip(
+            jax.tree.leaves(restored), saved_leaves
+        ):
+            np.testing.assert_allclose(np.asarray(a), b)
+        uid_table = restored.params["query_tower"]["embeddings"]["uid"]
+        assert uid_table.sharding.spec == P("model", None)
+        assert uid_table.sharding.mesh.shape["model"] == 8
+        # restored state trains on the new mesh
+        step_b = make_sharded_sparse_train_step(
+            model, opt, 0.1, mesh_b, feats
+        )
+        _, m = step_b(restored, shard_batch(batch, mesh_b))
+        assert np.isfinite(float(m["loss"]))
+
 
 class TestPytreeIO:
     def test_nested_round_trip(self, tmp_path):
