@@ -40,7 +40,41 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = float("-inf")  # plain python scalars: jnp constants would be
 BIG_IDX = 2**31 - 1      # captured tracers inside the pallas kernel
 
-VMEM_BUDGET = 15_000_000  # conservative v5e per-core budget (of 16MB)
+VMEM_BUDGET = 15_000_000  # conservative v5e per-core budget (of 16MiB)
+
+# Per-core VMEM bytes by TPU generation (device_kind substring match,
+# first hit wins — "v5 lite" must precede "v5"). The 16MiB class is
+# VALIDATED on real v5e hardware (every BASELINE.md kernel number); the
+# 32MiB class for v5p/v6 follows the published 2x VMEM spec but is NOT
+# measured here — revalidate q_block/L defaults when such hardware is
+# available (the guard below still refuses infeasible configs either
+# way).
+_VMEM_BYTES_BY_KIND = (
+    ("v5 lite", 16 * 2**20),
+    ("v5e", 16 * 2**20),
+    ("v5p", 32 * 2**20),
+    ("v5", 32 * 2**20),
+    ("v6", 32 * 2**20),
+    ("v4", 16 * 2**20),
+)
+
+
+def vmem_budget(device=None) -> int:
+    """Usable per-core VMEM budget (bytes) for kernel configs, derived
+    from the queried device (~90% of capacity, leaving headroom for
+    Mosaic's own buffers). Unknown kinds — including the CPU interpret
+    backend — fall back to the measured v5e budget so configs stay
+    portable to the validated hardware."""
+    if device is None:
+        try:
+            device = jax.devices()[0]
+        except Exception:
+            return VMEM_BUDGET
+    kind = (getattr(device, "device_kind", "") or "").lower()
+    for key, size in _VMEM_BYTES_BY_KIND:
+        if key in kind:
+            return int(size * 0.9)
+    return VMEM_BUDGET
 
 # Measured optimum at N=131k/E=128/k=100 on v5e (BASELINE.md): blocks of
 # 128 query rows with L=512-1024 bins beat one monolithic (1024, L=256)
@@ -56,12 +90,19 @@ def vmem_estimate(B: int, E: int, L: int, keep_per_bin: int) -> int:
 
 
 def pick_bins(
-    B: int, E: int, k: int, keep_per_bin: int = 2, target: int = None
+    B: int,
+    E: int,
+    k: int,
+    keep_per_bin: int = 2,
+    target: int = None,
+    budget: int = None,
 ) -> "int | None":
     """Lane-aligned bin count for the kernel: the smallest feasible L
     at least ``target`` (default ``4 * keep_per_bin * k``; else the
     largest feasible), or None if nothing satisfies k <= L and the
     VMEM budget (caller should fall back to the XLA exact path).
+    ``budget`` defaults to the queried device's VMEM budget
+    (``vmem_budget()``: 16MiB-class v5e/v4, 32MiB-class v5p/v6).
 
     Rationale: per-pass cost is independent of L (the VPU work is B*N
     elements either way), while more bins mean shallower per-bin
@@ -70,11 +111,13 @@ def pick_bins(
     and oversizing L wastes VMEM/padding: measured at
     q_block=128/N=131k/k=100, L=1024 runs 5.0ms vs 5.9ms for L=2048 and
     11.2ms for the monolithic (B=1024, L=256) launch (BASELINE.md)."""
+    if budget is None:
+        budget = vmem_budget()
     feasible = [
         L
         for L in (256, 384, 512, 768, 1024, 1536, 2048)
         if L >= k
-        and vmem_estimate(B, E, L, keep_per_bin) <= VMEM_BUDGET
+        and vmem_estimate(B, E, L, keep_per_bin) <= budget
     ]
     if not feasible:
         return None
@@ -791,15 +834,15 @@ def pallas_exact_topk(
     if k > N:
         raise ValueError(f"k={k} > N={N}")
     if (
-        vmem_estimate(B_blk, E, L, keep_per_bin) > VMEM_BUDGET
+        vmem_estimate(B_blk, E, L, keep_per_bin) > vmem_budget()
         and not interpret
     ):
-        # Exceeding ~16MB/core wedges the remote Mosaic compiler rather
-        # than failing cleanly — refuse up front.
+        # Exceeding the per-core VMEM wedges the remote Mosaic compiler
+        # rather than failing cleanly — refuse up front.
         raise ValueError(
             "estimated VMEM "
             f"{vmem_estimate(B_blk, E, L, keep_per_bin)/1e6:.1f}"
-            f"MB exceeds the v5e budget; reduce L (got {L}) or "
+            f"MB exceeds this device's budget; reduce L (got {L}) or "
             f"q_block {B_blk}"
         )
     n_pad = ((N + L - 1) // L) * L
@@ -911,13 +954,13 @@ def pallas_quantized_topk(
     if k > L:
         raise ValueError(f"k={k} must be <= L={L}")
     if (
-        vmem_estimate(B_blk, E, L, 2) > VMEM_BUDGET
+        vmem_estimate(B_blk, E, L, 2) > vmem_budget()
         and not interpret
     ):
         raise ValueError(
             "estimated VMEM "
-            f"{vmem_estimate(B_blk, E, L, 2)/1e6:.1f}MB exceeds the "
-            f"v5e budget; reduce L (got {L}) or q_block {B_blk}"
+            f"{vmem_estimate(B_blk, E, L, 2)/1e6:.1f}MB exceeds this "
+            f"device's budget; reduce L (got {L}) or q_block {B_blk}"
         )
     n_pad = ((N + L - 1) // L) * L
     queries = queries.astype(compute_dtype)
