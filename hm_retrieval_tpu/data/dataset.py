@@ -69,6 +69,37 @@ class ShardDataset:
             self.manifest = json.load(f)
         self.num_rows: int = self.manifest["num_rows"]
         self.feature_dtypes: Dict[str, str] = self.manifest["features"]
+        self._all_shard_indices = [
+            i
+            for i in range(len(all_paths))
+            if i % process_count == process_index
+        ]
+        self._local_num_rows: Optional[int] = None
+
+    @property
+    def local_num_rows(self) -> int:
+        """Rows in THIS process's shard subset (== num_rows for a
+        single-process reader). Computed from the manifest's fixed
+        shard size when available; falls back to opening shard files
+        (pre-max_rows artifacts)."""
+        if self._local_num_rows is None:
+            max_rows = self.manifest.get("max_rows")
+            n_shards = self.manifest.get(
+                "num_shards", len(self.shard_paths)
+            )
+            if max_rows:
+                last = self.num_rows - (n_shards - 1) * max_rows
+                self._local_num_rows = sum(
+                    last if i == n_shards - 1 else max_rows
+                    for i in self._all_shard_indices
+                )
+            else:
+                total = 0
+                for p in self.shard_paths:
+                    with np.load(p) as z:
+                        total += len(z[z.files[0]])
+                self._local_num_rows = total
+        return self._local_num_rows
 
     # ------------------------------------------------------------------
     def _read_shards(

@@ -74,6 +74,9 @@ class ShardWriter:
         manifest = {
             "num_rows": n,
             "num_shards": num_shards,
+            # rows per shard (last shard may be short): lets multi-host
+            # readers compute their local row count without opening files
+            "max_rows": self.max_rows,
             "features": {
                 f.name: (
                     "float32"

@@ -7,6 +7,15 @@ index returns (B, max_k) retrieved ids; the metric compares against the
 transferring one scalar per batch. Each test row is one (query,
 true-candidate) event, so this is per-transaction hit rate (SURVEY C19
 note).
+
+Multi-host (no reference analog — SURVEY §2.9/§5.8): two composable
+mechanisms:
+
+- ``valid_mask``: per-row validity instead of a leading-rows count, for
+  lockstep global-batch eval where each host pads its own tail of the
+  assembled batch (padding is then interleaved, not trailing);
+- ``cross_process=True``: hosts that evaluated disjoint local shards sum
+  their {hits, seen} once at ``results()`` via a process allgather.
 """
 
 from __future__ import annotations
@@ -24,38 +33,57 @@ logger = logging.getLogger(__name__)
 
 @partial(jax.jit, static_argnames=("ks",))
 def _batch_hits(
-    retrieved: jax.Array,  # (B, max_k) int ids
-    true_ids: jax.Array,   # (B,) int ids
-    num_valid: jax.Array,  # scalar: rows beyond this are padding
+    retrieved: jax.Array,   # (B, max_k) int ids
+    true_ids: jax.Array,    # (B,) int ids
+    row_valid: jax.Array,   # (B,) bool: padded rows excluded
     ks: tuple,
 ) -> jax.Array:
-    """(len(ks),) hit counts: row i hits at K if true_ids[i] appears in
-    retrieved[i, :K] (ref: index_recall.py:52-58). Rows >= num_valid are
-    ignored (padded eval tails keep batch shapes static on TPU)."""
+    """(len(ks) + 1,) [hit counts per K..., valid rows]: row i hits at K
+    if true_ids[i] appears in retrieved[i, :K]
+    (ref: index_recall.py:52-58)."""
     eq = retrieved == true_ids[:, None]  # (B, max_k)
-    row_valid = (
-        jnp.arange(retrieved.shape[0]) < num_valid
-    )  # (B,)
     # cumulative any over the k axis: hit within first K columns
     cum = (jnp.cumsum(eq, axis=1) > 0) & row_valid[:, None]
-    return jnp.stack([cum[:, k - 1].sum() for k in ks])
+    counts = jnp.stack([cum[:, k - 1].sum() for k in ks])
+    return jnp.concatenate(
+        [counts, row_valid.sum()[None].astype(counts.dtype)]
+    )
 
 
 class IndexRecall:
     """Streaming accumulator over evaluation batches
-    (ref: IndexRecall, index_recall.py:10-49)."""
+    (ref: IndexRecall, index_recall.py:10-49).
 
-    def __init__(self, ks: List[int]):
+    ``cross_process``: sum {hits, seen} over every JAX process at
+    ``results()`` — for multi-host runs where each host streamed only
+    its own test shards. (Lockstep global-batch eval does NOT want
+    this: there every host already computes the global totals.)
+    """
+
+    def __init__(self, ks: List[int], cross_process: bool = False):
         if not ks:
             raise ValueError("ks must be non-empty")
         self.ks = tuple(sorted(int(k) for k in ks))
         self.max_k = self.ks[-1]
         self.hits = np.zeros(len(self.ks), np.int64)
         self.seen = 0
+        self.cross_process = bool(cross_process)
 
-    def update(self, retrieved_ids, true_ids, num_valid=None) -> None:
+    def update(
+        self,
+        retrieved_ids,
+        true_ids,
+        num_valid=None,
+        valid_mask=None,
+    ) -> None:
         """``num_valid``: count only the first N rows (padded tail
-        batches); defaults to the full batch."""
+        batches); ``valid_mask``: per-row (B,) bool validity (global-
+        batch eval, where each host's padding is interleaved). At most
+        one of the two; defaults to the full batch."""
+        if num_valid is not None and valid_mask is not None:
+            raise ValueError(
+                "pass num_valid or valid_mask, not both"
+            )
         retrieved_ids = jnp.asarray(retrieved_ids)
         true_ids = jnp.asarray(true_ids)
         if retrieved_ids.shape[1] < self.max_k:
@@ -63,25 +91,49 @@ class IndexRecall:
                 f"retrieved width {retrieved_ids.shape[1]} < max k "
                 f"{self.max_k}"
             )
-        n = (
-            retrieved_ids.shape[0] if num_valid is None else int(num_valid)
-        )
-        self.hits += np.asarray(
+        if valid_mask is None:
+            n = (
+                retrieved_ids.shape[0]
+                if num_valid is None
+                else int(num_valid)
+            )
+            valid_mask = (
+                jnp.arange(retrieved_ids.shape[0]) < n
+            )
+        else:
+            valid_mask = jnp.asarray(valid_mask, bool)
+        out = np.asarray(
             _batch_hits(
                 retrieved_ids,
                 true_ids,
-                jnp.asarray(n, jnp.int32),
+                valid_mask,
                 self.ks,
             )
         )
-        self.seen += n
+        self.hits += out[:-1]
+        self.seen += int(out[-1])
+
+    def _totals(self):
+        hits, seen = self.hits, self.seen
+        if self.cross_process and jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+
+            local = np.concatenate(
+                [hits, [seen]]
+            ).astype(np.int64)
+            gathered = np.asarray(
+                multihost_utils.process_allgather(local)
+            )  # (P, len(ks)+1)
+            tot = gathered.sum(axis=0)
+            hits, seen = tot[:-1], int(tot[-1])
+        return hits, seen
 
     def results(self) -> Dict[int, float]:
-        if self.seen == 0:
+        hits, seen = self._totals()
+        if seen == 0:
             return {k: 0.0 for k in self.ks}
         return {
-            k: float(h) / self.seen
-            for k, h in zip(self.ks, self.hits)
+            k: float(h) / seen for k, h in zip(self.ks, hits)
         }
 
     def reset(self) -> None:

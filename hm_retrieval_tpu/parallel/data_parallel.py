@@ -91,4 +91,6 @@ def make_dp_train_step(
 
 
 def replicate_state(state: TrainState, mesh) -> TrainState:
-    return jax.device_put(state, replicated(mesh))
+    from hm_retrieval_tpu.parallel.mesh import replicate_pytree
+
+    return replicate_pytree(state, mesh)

@@ -115,6 +115,27 @@ def row_sharded(mesh: Mesh, axis: str = MODEL_AXIS) -> NamedSharding:
     return NamedSharding(mesh, P(axis, None))
 
 
+def replicate_pytree(tree, mesh: Mesh):
+    """Place every leaf fully replicated over the mesh.
+
+    Multi-host safe: with multiple processes the global array is built
+    from each host's LOCAL copy (``make_array_from_callback``), so no
+    cross-host device transfer is attempted — every process must hold
+    identical values (true for checkpoint restores and seeded inits,
+    the two callers). Single-process falls through to device_put."""
+    sharding = replicated(mesh)
+    if jax.process_count() == 1:
+        return jax.device_put(tree, sharding)
+
+    def place(x):
+        arr = np.asarray(x)
+        return jax.make_array_from_callback(
+            arr.shape, sharding, lambda idx: arr[idx]
+        )
+
+    return jax.tree.map(place, tree)
+
+
 def shard_batch(batch, mesh: Mesh):
     """Host numpy batch dict -> device arrays sharded over the data axis.
 

@@ -173,4 +173,6 @@ def make_dp_sparse_train_step(
 def replicate_sparse_state(
     state: SparseTrainState, mesh
 ) -> SparseTrainState:
-    return jax.device_put(state, replicated(mesh))
+    from hm_retrieval_tpu.parallel.mesh import replicate_pytree
+
+    return replicate_pytree(state, mesh)

@@ -32,7 +32,10 @@ from hm_retrieval_tpu.models.two_tower import (
     create_train_state,
     make_train_step,
 )
-from hm_retrieval_tpu.parallel.mesh import replicated, shard_batch
+from hm_retrieval_tpu.parallel.mesh import (
+    replicate_pytree,
+    shard_batch,
+)
 from hm_retrieval_tpu.runners.checkpoint import (
     CheckpointManager,
     export_model,
@@ -58,6 +61,30 @@ def _pad_batch(batch: Dict[str, np.ndarray], size: int):
         return np.pad(v, widths)
 
     return {k: pad(v) for k, v in batch.items()}, n
+
+
+def _allgather_max(n: int) -> int:
+    """Max of a host-local int across every JAX process (lockstep batch
+    counts for multi-host eval)."""
+    if jax.process_count() == 1:
+        return int(n)
+    from jax.experimental import multihost_utils
+
+    return int(
+        np.max(multihost_utils.process_allgather(np.asarray([n])))
+    )
+
+
+def _allgather_min(n: int) -> int:
+    """Min of a host-local int across every JAX process (lockstep step
+    counts for multi-host training)."""
+    if jax.process_count() == 1:
+        return int(n)
+    from jax.experimental import multihost_utils
+
+    return int(
+        np.min(multihost_utils.process_allgather(np.asarray([n])))
+    )
 
 
 def _active_sharded_features(tc, mesh):
@@ -142,7 +169,15 @@ def evaluate(
     masked out of the metric. With a mesh, eval batches are sharded
     P("data") — rows are independent, so GSPMD parallelizes the tower
     forward + scoring + top-k across chips with no collectives beyond the
-    final metric reduction."""
+    final metric reduction.
+
+    Multi-host (SURVEY §2.9/§5.8): each process streams only ITS shard
+    subset of ``test_ds`` and contributes ``test_batch_size / P`` rows
+    to every global batch; batch counts are all-gathered so every host
+    dispatches the same number of lockstep computations (drained hosts
+    feed all-padding batches), and per-host tail padding is masked by a
+    per-row validity column — the resulting recall is the GLOBAL metric,
+    identical on every host."""
     usable_ks = [k for k in ks if k <= index.num_candidates]
     dropped = [k for k in ks if k > index.num_candidates]
     if dropped:
@@ -154,21 +189,67 @@ def evaluate(
     metric = IndexRecall(usable_ks)
     query_fn = jax.jit(model.query_forward)
     cid = model.candidate_id_col
-    for batch in test_ds.iter_batches(test_batch_size):
-        batch, n = _pad_batch(batch, test_batch_size)
-        if mesh is not None:
-            jbatch = shard_batch(
-                {k_: np.asarray(v) for k_, v in batch.items()},
-                mesh,
+
+    P = jax.process_count()
+    if P > 1:
+        if mesh is None:
+            raise ValueError("multi-host eval requires a mesh")
+        if test_batch_size % P:
+            raise ValueError(
+                f"test_batch_size {test_batch_size} must divide by "
+                f"process count {P}"
+            )
+    local_bs = test_batch_size // P
+    n_local = -(-test_ds.local_num_rows // local_bs)
+    n_batches = _allgather_max(n_local)
+
+    last_shapes = None
+    batches = test_ds.iter_batches(local_bs)
+    for _ in range(n_batches):
+        batch = next(batches, None)
+        if batch is None:
+            # this host drained early: feed an all-padding batch so the
+            # lockstep global dispatch count matches across hosts
+            if last_shapes is None:
+                raise RuntimeError(
+                    "process has no local eval batches; write more "
+                    "shards or use fewer hosts"
+                )
+            batch, n = (
+                {
+                    k_: np.zeros(s, d)
+                    for k_, (s, d) in last_shapes.items()
+                },
+                0,
             )
         else:
+            batch, n = _pad_batch(batch, local_bs)
+            last_shapes = {
+                k_: (np.asarray(v).shape, np.asarray(v).dtype)
+                for k_, v in batch.items()
+            }
+        mask = np.arange(local_bs) < n
+        if mesh is not None:
+            sharded = shard_batch(
+                {
+                    "__valid__": mask,
+                    **{
+                        k_: np.asarray(v) for k_, v in batch.items()
+                    },
+                },
+                mesh,
+            )
+            gmask = sharded.pop("__valid__")
+            jbatch = sharded
+        else:
+            gmask = jax.numpy.asarray(mask)
             jbatch = {
                 k_: jax.numpy.asarray(v)
                 for k_, v in batch.items()
             }
         q = query_fn(params, jbatch)
         _, ids = index.topk_from_embeddings(q)
-        metric.update(ids, jbatch[cid], num_valid=n)
+        metric.update(ids, jbatch[cid], valid_mask=gmask)
     return metric.log_metric(epoch, writer)
 
 
@@ -182,7 +263,14 @@ def evaluation_runner(
     catalog over ``mesh``'s model axis (indices/distributed.py)."""
     schema = Schema.load(settings.schema_dirpath)
     tc, mc = schema.training_config, schema.model_config
-    test_ds = ShardDataset(settings.test_shards_dirpath)
+    # multi-host: each process streams its own test-shard subset; the
+    # candidate catalog is read in full everywhere (every host embeds
+    # the whole catalog for its replicated/sharded index build)
+    test_ds = ShardDataset(
+        settings.test_shards_dirpath,
+        process_index=jax.process_index(),
+        process_count=jax.process_count(),
+    )
     cand_ds = ShardDataset(settings.candidate_shards_dirpath)
 
     model = TwoTowerModel.create_from_schema(schema)
@@ -232,7 +320,8 @@ def evaluation_runner(
     if mesh is not None and not sharded_feats:
         # mesh eval of a single-device checkpoint: replicate params so
         # the tower forward runs against mesh-sharded batches
-        state = jax.device_put(state, replicated(mesh))
+        # (multi-host safe: built from each host's local copy)
+        state = replicate_pytree(state, mesh)
 
     index = build_index(
         model,
@@ -286,8 +375,28 @@ def modelling_runner(
 
         validate_exportable_schema(schema)
 
-    train_ds = ShardDataset(settings.train_shards_dirpath)
-    test_ds = ShardDataset(settings.test_shards_dirpath)
+    # multi-host: train/test shards are partitioned across processes
+    # (each host feeds its 1/P of every global batch); the candidate
+    # catalog is read in full on every host
+    pi, pc = jax.process_index(), jax.process_count()
+    if pc > 1 and mesh is None:
+        raise ValueError("multi-host training requires a mesh")
+    if pc > 1 and (
+        tc.train_batch_size % pc or tc.test_batch_size % pc
+    ):
+        raise ValueError(
+            "train/test batch sizes must divide by the process count"
+        )
+    train_ds = ShardDataset(
+        settings.train_shards_dirpath,
+        process_index=pi,
+        process_count=pc,
+    )
+    test_ds = ShardDataset(
+        settings.test_shards_dirpath,
+        process_index=pi,
+        process_count=pc,
+    )
     cand_ds = ShardDataset(settings.candidate_shards_dirpath)
 
     model = TwoTowerModel.create_from_schema(schema)
@@ -392,7 +501,7 @@ def modelling_runner(
     else:
         state = create_train_state(model, optimizer, tc.seed)
         if mesh is not None:
-            state = jax.device_put(state, replicated(mesh))
+            state = replicate_pytree(state, mesh)
         step_fn = None  # built below
 
     ckpt = CheckpointManager(settings.checkpoint_dirpath)
@@ -459,13 +568,25 @@ def modelling_runner(
                 results["initial"] = res
 
             # --- train one epoch (ref: runner.py:103) ---
+            # multi-host: each host contributes B/P rows per global
+            # batch; the per-epoch step count is the min across hosts so
+            # every process dispatches the same lockstep computations
             t0 = time.time()
+            local_bs = tc.train_batch_size // pc
             batches = train_ds.iter_batches(
-                tc.train_batch_size,
+                local_bs,
                 shuffle_buffer_size=tc.shuffle_buffer_size,
-                seed=tc.seed + epoch,
+                seed=tc.seed + epoch + pi,
                 drop_remainder=True,
             )
+            n_steps = None
+            if pc > 1:
+                n_steps = _allgather_min(
+                    train_ds.local_num_rows // local_bs
+                )
+                import itertools
+
+                batches = itertools.islice(batches, n_steps)
             for dev_batch in device_feed(batches, mesh=mesh):
                 state, metrics = step_fn(state, dev_batch)
                 global_step += 1

@@ -1,0 +1,152 @@
+"""2-process jax.distributed bring-up driver (launched by
+tests/test_multihost.py, one subprocess per rank).
+
+Each rank joins the process group, builds the global mesh over 2x4 fake
+CPU devices, evaluates the checkpointed model with its OWN test-shard
+subset (lockstep global batches, per-row validity masks, global metric),
+runs a couple of multi-host DP train steps, and writes its results as
+JSON. The parent test asserts both ranks report the IDENTICAL global
+recall, equal to the single-process oracle.
+
+Usage: python multihost_driver.py <rank> <nprocs> <port> <settings.json>
+       <outfile>
+"""
+
+import json
+import os
+import sys
+
+rank, nprocs, port = (
+    int(sys.argv[1]),
+    int(sys.argv[2]),
+    int(sys.argv[3]),
+)
+settings_path, outfile = sys.argv[4], sys.argv[5]
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = (
+    "--xla_force_host_platform_device_count=4"
+)
+sys.path.insert(
+    0,
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+)
+
+import jax  # noqa: E402
+
+# the build machine's sitecustomize pins a TPU platform in every python
+# process; force CPU before ANY backend use (CLAUDE.md)
+jax.config.update("jax_platforms", "cpu")
+jax.distributed.initialize(
+    coordinator_address=f"localhost:{port}",
+    num_processes=nprocs,
+    process_id=rank,
+)
+assert jax.process_count() == nprocs, jax.process_count()
+assert len(jax.devices()) == 4 * nprocs, len(jax.devices())
+
+import numpy as np  # noqa: E402
+
+from hm_retrieval_tpu.data.dataset import ShardDataset  # noqa: E402
+from hm_retrieval_tpu.metrics.index_recall import (  # noqa: E402
+    IndexRecall,
+)
+from hm_retrieval_tpu.parallel import make_mesh  # noqa: E402
+from hm_retrieval_tpu.runners import (  # noqa: E402
+    evaluation_runner,
+)
+from hm_retrieval_tpu.utils.settings import Settings  # noqa: E402
+
+with open(settings_path) as f:
+    cfg = json.load(f)
+# per-rank index artifact dir: both ranks refresh the index, and the
+# save must not race on shared files
+cfg["index_dirpath"] = cfg["index_dirpath"] + f"_rank{rank}"
+settings = Settings(**cfg)
+
+mesh = make_mesh()  # ("data"=8,) over both processes' devices
+recalls = evaluation_runner(settings, mesh=mesh)
+
+# --- per-host-independent eval path: each rank streams its shard
+# subset against the saved index with NO mesh, then IndexRecall
+# cross_process sums {hits, seen} over the group ---
+from hm_retrieval_tpu.indices import load_index  # noqa: E402
+from hm_retrieval_tpu.schema.schema import Schema  # noqa: E402
+from hm_retrieval_tpu.models.two_tower import (  # noqa: E402
+    TwoTowerModel,
+)
+from hm_retrieval_tpu.utils.pytree_io import (  # noqa: E402
+    load_pytree_npz,
+)
+
+schema = Schema.load(settings.schema_dirpath)
+model = TwoTowerModel.create_from_schema(schema)
+params = load_pytree_npz(
+    f"{settings.model_dirpath}/two_tower/params.npz"
+)
+index = load_index(settings.index_dirpath)
+test_ds = ShardDataset(
+    settings.test_shards_dirpath,
+    process_index=rank,
+    process_count=nprocs,
+)
+metric = IndexRecall(
+    [k for k in schema.model_config.ks if k <= index.num_candidates],
+    cross_process=True,
+)
+qf = jax.jit(model.query_forward)
+for batch in test_ds.iter_batches(64):
+    jb = {k: jax.numpy.asarray(np.asarray(v)) for k, v in batch.items()}
+    _, ids = index.topk_from_embeddings(qf(params, jb))
+    metric.update(ids, jb[schema.candidate_id_col])
+local_recalls = metric.results()
+
+# --- a couple of multi-host DP train steps (global batches assembled
+# from per-host rows, gradient psum over the group) ---
+from hm_retrieval_tpu.data.device_feed import device_feed  # noqa: E402
+from hm_retrieval_tpu.models import (  # noqa: E402
+    OptimizerFactory,
+    create_train_state,
+)
+from hm_retrieval_tpu.parallel import (  # noqa: E402
+    make_dp_train_step,
+    replicate_state,
+)
+
+tc = schema.training_config
+opt = OptimizerFactory.get_optimizer(
+    tc.optimizer_name, tc.optimizer_kwargs
+)
+state = replicate_state(
+    create_train_state(model, opt, seed=0), mesh
+)
+step = make_dp_train_step(model, opt, mesh)
+train_ds = ShardDataset(
+    settings.train_shards_dirpath,
+    process_index=rank,
+    process_count=nprocs,
+)
+import itertools
+
+batches = itertools.islice(
+    train_ds.iter_batches(32, drop_remainder=True), 3
+)
+losses = []
+for dev_batch in device_feed(batches, mesh=mesh):
+    state, m = step(state, dev_batch)
+    losses.append(float(m["loss"]))
+
+with open(outfile, "w") as f:
+    json.dump(
+        {
+            "rank": rank,
+            "recalls": {str(k): v for k, v in recalls.items()},
+            "local_recalls": {
+                str(k): v for k, v in local_recalls.items()
+            },
+            "train_losses": losses,
+            "local_test_rows": test_ds.local_num_rows,
+        },
+        f,
+    )
+print(f"rank {rank} OK", flush=True)

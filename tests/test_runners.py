@@ -72,6 +72,9 @@ def pipeline(tmp_path_factory):
         checkpoint_dirpath=f"{d}/artifacts/ckpt",
         tensorboard_logs_dir=None,
         profile_steps=None,
+        # several shards per split so multi-process readers
+        # (tests/test_multihost.py) can partition them
+        max_shard_rows=500,
     )
     schema = Schema(
         features=[
