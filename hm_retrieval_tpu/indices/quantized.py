@@ -61,8 +61,9 @@ def _resolve_method(method: str, k_eff: int, dim: int) -> str:
         return "scan"
     from hm_retrieval_tpu.ops.pallas_retrieval import pick_bins
 
-    # 256 = the kernel's single-pass q_block default (pallas_rounds=1)
-    feasible = pick_bins(256, dim, k_eff, 2)
+    # single-pass (pallas_rounds=1) threshold-free layout at the
+    # kernel's smallest fallback block size
+    feasible = pick_bins(256, dim, k_eff, 2, first_pass=True)
     return "pallas" if feasible is not None else "scan"
 
 

@@ -89,6 +89,14 @@ def vmem_estimate(B: int, E: int, L: int, keep_per_bin: int) -> int:
     return 4 * B * L * (1 + 2 + acc_bufs) + 4 * B * E + 8 * L * E
 
 
+def vmem_estimate_first(B: int, E: int, L: int) -> int:
+    """VMEM bytes for the threshold-FREE single-pass kernels (scores +
+    4 accumulators, no threshold buffers): ~29% less than the
+    refinement-round layout, which is what lets a whole B=1024 batch
+    stay resident and the catalog stream ONCE."""
+    return 4 * B * L * (1 + 4) + 4 * B * E + 8 * L * E
+
+
 def pick_bins(
     B: int,
     E: int,
@@ -96,6 +104,7 @@ def pick_bins(
     keep_per_bin: int = 2,
     target: int = None,
     budget: int = None,
+    first_pass: bool = False,
 ) -> "int | None":
     """Lane-aligned bin count for the kernel: the smallest feasible L
     at least ``target`` (default ``4 * keep_per_bin * k``; else the
@@ -103,6 +112,8 @@ def pick_bins(
     VMEM budget (caller should fall back to the XLA exact path).
     ``budget`` defaults to the queried device's VMEM budget
     (``vmem_budget()``: 16MiB-class v5e/v4, 32MiB-class v5p/v6).
+    ``first_pass`` sizes against the threshold-free single-pass layout
+    (``vmem_estimate_first``).
 
     Rationale: per-pass cost is independent of L (the VPU work is B*N
     elements either way), while more bins mean shallower per-bin
@@ -113,11 +124,15 @@ def pick_bins(
     11.2ms for the monolithic (B=1024, L=256) launch (BASELINE.md)."""
     if budget is None:
         budget = vmem_budget()
+    est = (
+        (lambda b, e, l: vmem_estimate_first(b, e, l))
+        if first_pass
+        else (lambda b, e, l: vmem_estimate(b, e, l, keep_per_bin))
+    )
     feasible = [
         L
         for L in (256, 384, 512, 768, 1024, 1536, 2048)
-        if L >= k
-        and vmem_estimate(B, E, L, keep_per_bin) <= budget
+        if L >= k and est(B, E, L) <= budget
     ]
     if not feasible:
         return None
@@ -321,6 +336,99 @@ def _bin_max2_scaled_first_kernel(
     flat = col + c * L
     s = jnp.where(flat < n_valid, scores, NEG_INF)
     _update_top2(s, flat, m1_ref, a1_ref, m2_ref, a2_ref)
+
+
+def _bin_max2_scaled_nomask_kernel(
+    q_ref,      # (B, E) VMEM, resident (compute dtype)
+    c_ref,      # (L, E) VMEM, current chunk — int8 codes
+    s_ref,      # (1, L) VMEM: per-row dequantization scales
+    b_ref,      # (1, L) VMEM: bias, -inf on EVERY invalid/pad row
+    m1_ref,
+    a1_ref,
+    m2_ref,
+    a2_ref,
+    *,
+    L: int,
+):
+    """Leanest form of the single-pass survivor kernel: validity and
+    padding are encoded as -inf in the bias row by the DRIVER, so the
+    per-element eligibility chain (iota compare + where) disappears and
+    the bias rides the dequantization FMA. This kernel is
+    compare/select-bound (BASELINE.md), so every dropped per-element op
+    is throughput."""
+    c = pl.program_id(0)
+
+    @pl.when(c == 0)
+    def _():
+        m1_ref[:] = jnp.full(m1_ref.shape, NEG_INF, m1_ref.dtype)
+        a1_ref[:] = jnp.full(a1_ref.shape, BIG_IDX, a1_ref.dtype)
+        m2_ref[:] = jnp.full(m2_ref.shape, NEG_INF, m2_ref.dtype)
+        a2_ref[:] = jnp.full(a2_ref.shape, BIG_IDX, a2_ref.dtype)
+
+    codes = c_ref[:].astype(q_ref.dtype)
+    scores = (
+        jnp.dot(
+            q_ref[:], codes.T, preferred_element_type=jnp.float32
+        )
+        * s_ref[0, :][None, :]
+        + b_ref[0, :][None, :]
+    )
+    B = scores.shape[0]
+    col = jax.lax.broadcasted_iota(jnp.int32, (B, L), 1)
+    flat = col + c * L
+    _update_top2(scores, flat, m1_ref, a1_ref, m2_ref, a2_ref)
+
+
+@functools.partial(jax.jit, static_argnames=("L", "interpret"))
+def bin_max2_scaled_single_pass(
+    q: jax.Array,           # (B, E) compute dtype
+    codes_padded: jax.Array,  # (N_pad, E) int8
+    scales_row: jax.Array,  # (1, N_pad)
+    bias_row: jax.Array,    # (1, N_pad), -inf on every invalid row
+    L: int,
+    interpret: bool = False,
+):
+    """One streaming pass over the int8 catalog with NO per-element
+    validity mask (driver encodes it in ``bias_row``) and no threshold
+    buffers — the minimal-VMEM layout (vmem_estimate_first) that lets a
+    full B=1024 batch stay resident so the catalog streams ONCE."""
+    B, E = q.shape
+    n_pad = codes_padded.shape[0]
+    assert n_pad % L == 0
+    grid = (n_pad // L,)
+    bl = lambda c: (0, 0)  # noqa: E731
+    return pl.pallas_call(
+        functools.partial(_bin_max2_scaled_nomask_kernel, L=L),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((B, E), bl, memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (L, E), lambda c: (c, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, L), lambda c: (0, c), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, L), lambda c: (0, c), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=tuple(
+            pl.BlockSpec((B, L), bl, memory_space=pltpu.VMEM)
+            for _ in range(4)
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, L), jnp.float32),
+            jax.ShapeDtypeStruct((B, L), jnp.int32),
+            jax.ShapeDtypeStruct((B, L), jnp.float32),
+            jax.ShapeDtypeStruct((B, L), jnp.int32),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * n_pad * E,
+            bytes_accessed=n_pad * E + 4 * B * L * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(q, codes_padded, scales_row, bias_row)
 
 
 def _bin_max2_scaled_kernel(
@@ -930,22 +1038,39 @@ def pallas_quantized_topk(
         raise ValueError(f"n_valid={n_valid} > catalog rows {N}")
     if k > n_valid:
         raise ValueError(f"k={k} > n_valid={n_valid}")
+    single_pass = max_rounds == 1
     if q_block is None:
-        # The multi-round exact loop wants SMALL blocks (VMEM for bins
-        # + per-block early exit), but in single-pass mode there are no
-        # rounds to save, while every block re-streams and re-
-        # dequantizes the catalog: measured at N=1M/B=1024/k=100,
-        # q_block 256 runs 5.6ms vs 6.4ms at 128 without rescore and
-        # 9.5 vs 10.5ms with (BASELINE.md q_block sweep, 2026-08-20).
-        q_block = 256 if max_rounds == 1 else DEFAULT_Q_BLOCK
+        if single_pass:
+            # Single-pass mode has no refinement rounds for small
+            # blocks to save, while every extra block RE-STREAMS the
+            # whole catalog from HBM. The threshold-free kernel's
+            # VMEM layout (vmem_estimate_first) fits the whole B=1024
+            # batch resident at L>=512, so prefer the LARGEST feasible
+            # block — at the 10M point that's 1 catalog stream instead
+            # of 4 (VERDICT r2 weak #1).
+            for cand_blk in (B, 1024, 512, 256, 128):
+                if cand_blk <= B and pick_bins(
+                    min(B, cand_blk), E, k, 2, first_pass=True
+                ):
+                    q_block = cand_blk
+                    break
+            else:
+                q_block = DEFAULT_Q_BLOCK
+        else:
+            q_block = DEFAULT_Q_BLOCK
     B_blk = min(B, q_block) if q_block else B
     if L is None:
         # Single-pass mode: collisions only trim the survivor margin
-        # (no refinement rounds to shorten), so a moderate L suffices —
-        # L=1024 measured fastest at the production point
-        # (BASELINE.md (q_block, L) sweep, 2026-08-20).
-        target = max(k, 1024) if max_rounds == 1 else None
-        L = pick_bins(B_blk, E, k, keep_per_bin=2, target=target)
+        # (no refinement rounds to shorten), so a moderate L suffices.
+        target = max(k, 512) if single_pass else None
+        L = pick_bins(
+            B_blk,
+            E,
+            k,
+            keep_per_bin=2,
+            target=target,
+            first_pass=single_pass,
+        )
         if L is None:
             raise ValueError(
                 f"no feasible bin count for B={B_blk}, E={E}, k={k} "
@@ -953,13 +1078,14 @@ def pallas_quantized_topk(
             )
     if k > L:
         raise ValueError(f"k={k} must be <= L={L}")
-    if (
-        vmem_estimate(B_blk, E, L, 2) > vmem_budget()
-        and not interpret
-    ):
+    est = (
+        vmem_estimate_first(B_blk, E, L)
+        if single_pass
+        else vmem_estimate(B_blk, E, L, 2)
+    )
+    if est > vmem_budget() and not interpret:
         raise ValueError(
-            "estimated VMEM "
-            f"{vmem_estimate(B_blk, E, L, 2)/1e6:.1f}MB exceeds this "
+            f"estimated VMEM {est/1e6:.1f}MB exceeds this "
             f"device's budget; reduce L (got {L}) or q_block {B_blk}"
         )
     n_pad = ((N + L - 1) // L) * L
@@ -975,6 +1101,41 @@ def pallas_quantized_topk(
         jnp.pad(bias.astype(jnp.float32), (0, n_pad - N))
         .reshape(1, n_pad)
     )
+
+    if single_pass:
+        # validity + padding ride the bias row as -inf so the kernel
+        # carries NO per-element eligibility mask (the bias add fuses
+        # into the dequantization FMA)
+        bias_inf = jnp.where(
+            jnp.arange(n_pad)[None, :] < n_valid,
+            bias_row,
+            -jnp.inf,
+        )
+        vs, idxs = [], []
+        for s in range(0, B, B_blk):
+            m1, a1, m2, a2 = bin_max2_scaled_single_pass(
+                queries[s : s + B_blk],
+                codes_p,
+                scales_row,
+                bias_inf,
+                L,
+                interpret,
+            )
+            v, sel = lax.top_k(
+                jnp.concatenate([m1, m2], axis=1), k
+            )
+            i = jnp.take_along_axis(
+                jnp.concatenate([a1, a2], axis=1), sel, axis=1
+            )
+            vs.append(v)
+            idxs.append(i)
+        if len(vs) == 1:
+            return vs[0], idxs[0], jnp.int32(1)
+        return (
+            jnp.concatenate(vs, axis=0),
+            jnp.concatenate(idxs, axis=0),
+            jnp.int32(1),
+        )
 
     vs, idxs, rounds = [], [], jnp.int32(0)
     for s in range(0, B, B_blk):
