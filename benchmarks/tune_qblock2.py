@@ -95,19 +95,28 @@ def main():
     _, want = jax.jit(exact)(q, arrays)
 
     cases = [
-        # rescore (kk=200): hunt the fast layout
+        # rescore (kk=200): small-block layouts (old default family)
+        (True, 128, 1024),
         (True, 256, 512),
-        (True, 256, 768),
         (True, 256, 1024),
         (True, 512, 512),
-        # noscore (kk=100): map the cliff around the 1.76ms point
-        (False, 256, 768),
-        (False, 256, 1536),
+        (True, 512, 768),
+        # single-catalog-stream layouts (whole batch resident; the
+        # threshold-free kernel's VMEM allows them)
+        (True, 1024, 256),
+        (True, 1024, 512),
+        # no-rescore (kk=100)
+        (False, 256, 1024),
         (False, 512, 1024),
+        (False, 1024, 512),
     ]
+    from hm_retrieval_tpu.ops.pallas_retrieval import (
+        vmem_estimate_first,
+    )
+
     for rescore, q_block, L in cases:
         kk = 2 * K if rescore else K
-        if L < kk or vmem_estimate(q_block, E, L, 2) > VMEM_BUDGET:
+        if L < kk or vmem_estimate_first(q_block, E, L) > VMEM_BUDGET:
             continue
         fn = make_variant(kk, rescore, q_block, L)
         dt = time_fn(fn, q, arrays)

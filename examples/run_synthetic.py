@@ -79,6 +79,12 @@ def main():
         help="comma-separated embedding tables to row-shard over the "
         "model axis (needs --mesh-model > 1)",
     )
+    ap.add_argument(
+        "--distributed-index",
+        action="store_true",
+        help="row-shard the retrieval catalog over the mesh's model "
+        "axis and serve eval through the collective top-k merge",
+    )
     args = ap.parse_args()
 
     if args.platform:
@@ -208,7 +214,11 @@ def main():
     )
 
     mesh = None
-    if args.mesh_data is not None or args.mesh_model > 1:
+    if (
+        args.mesh_data is not None
+        or args.mesh_model > 1
+        or args.distributed_index
+    ):
         from hm_retrieval_tpu.parallel import make_mesh
 
         mesh = make_mesh(
@@ -218,7 +228,11 @@ def main():
     etl_runner(settings)
     build_schema_runner(settings, schema)
     shard_writer_runner(settings)
-    results = modelling_runner(settings, mesh=mesh)
+    results = modelling_runner(
+        settings,
+        mesh=mesh,
+        distributed_index=args.distributed_index,
+    )
     baseline = baseline_modelling_runner(settings)
 
     print("\n=== Results ===")
