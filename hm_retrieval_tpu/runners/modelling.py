@@ -87,6 +87,14 @@ def _allgather_min(n: int) -> int:
     )
 
 
+def _is_coordinator() -> bool:
+    """True on the process that writes host-side artifacts (npz
+    exports, index files, TensorBoard events) — multiple hosts writing
+    the same shared-filesystem paths would race. Orbax checkpoint saves
+    are NOT gated: they are collective across processes."""
+    return jax.process_index() == 0
+
+
 def _active_sharded_features(tc, mesh):
     """Feature names to row-shard, or [] when the config asks for none
     or the mesh has no model axis to shard over (warned, not fatal —
@@ -343,7 +351,8 @@ def evaluation_runner(
         epoch=None,
         mesh=mesh,
     )
-    index.save(settings.index_dirpath)
+    if _is_coordinator():
+        index.save(settings.index_dirpath)
     return res
 
 
@@ -505,7 +514,9 @@ def modelling_runner(
         step_fn = None  # built below
 
     ckpt = CheckpointManager(settings.checkpoint_dirpath)
-    writer = MetricWriter(settings.tensorboard_logs_dir)
+    writer = MetricWriter(
+        settings.tensorboard_logs_dir if _is_coordinator() else None
+    )
     profiler = StepProfiler(
         settings.tensorboard_logs_dir, settings.profile_steps
     )
@@ -611,7 +622,10 @@ def modelling_runner(
                 )
 
                 export_params = unpad_params(state.params, model)
-            export_model(export_params, settings.model_dirpath)
+            if _is_coordinator():
+                export_model(
+                    export_params, settings.model_dirpath
+                )
             # weight histograms per epoch (ref: histogram_freq=1)
             writer.add_params_histograms(export_params, epoch + 1)
 
@@ -645,8 +659,9 @@ def modelling_runner(
             writer=writer,
             mesh=mesh,
         )
-        index.save(settings.index_dirpath)
-        if settings.savedmodel_dirpath:
+        if _is_coordinator():
+            index.save(settings.index_dirpath)
+        if settings.savedmodel_dirpath and _is_coordinator():
             from hm_retrieval_tpu.serving.savedmodel_export import (
                 export_index_savedmodel,
             )

@@ -44,6 +44,7 @@ jax.distributed.initialize(
 )
 assert jax.process_count() == nprocs, jax.process_count()
 assert len(jax.devices()) == 4 * nprocs, len(jax.devices())
+print("DRIVER_INIT_OK", flush=True)  # parent's skip-guard sentinel
 
 import numpy as np  # noqa: E402
 
@@ -59,13 +60,15 @@ from hm_retrieval_tpu.utils.settings import Settings  # noqa: E402
 
 with open(settings_path) as f:
     cfg = json.load(f)
-# per-rank index artifact dir: both ranks refresh the index, and the
-# save must not race on shared files
-cfg["index_dirpath"] = cfg["index_dirpath"] + f"_rank{rank}"
 settings = Settings(**cfg)
 
 mesh = make_mesh()  # ("data"=8,) over both processes' devices
+# index artifact is written by the coordinator only (runner gates
+# host-side writes to process 0); barrier before anyone reads it back
 recalls = evaluation_runner(settings, mesh=mesh)
+from jax.experimental import multihost_utils  # noqa: E402
+
+multihost_utils.sync_global_devices("index_artifact_written")
 
 # --- per-host-independent eval path: each rank streams its shard
 # subset against the saved index with NO mesh, then IndexRecall
