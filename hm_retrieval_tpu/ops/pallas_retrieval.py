@@ -373,10 +373,20 @@ def _bin_max2_scaled_nomask_kernel(
         * s_ref[0, :][None, :]
         + b_ref[0, :][None, :]
     )
-    B = scores.shape[0]
-    col = jax.lax.broadcasted_iota(jnp.int32, (B, L), 1)
-    flat = col + c * L
-    _update_top2(scores, flat, m1_ref, a1_ref, m2_ref, a2_ref)
+    # Track the CHUNK id (a scalar splat) instead of the per-element
+    # global index: each (row, bin) cell sees exactly one candidate per
+    # chunk, so global index = chunk * L + bin is reconstructible from
+    # the output position — this deletes the per-element iota + add
+    # from a compare/select-bound inner loop, and the argmax selects
+    # take a splat operand.
+    m1, a1 = m1_ref[:], a1_ref[:]
+    m2, a2 = m2_ref[:], a2_ref[:]
+    gt1 = scores > m1
+    gt2 = scores > m2
+    m1_ref[:] = jnp.where(gt1, scores, m1)
+    a1_ref[:] = jnp.where(gt1, c, a1)
+    m2_ref[:] = jnp.where(gt1, m1, jnp.where(gt2, scores, m2))
+    a2_ref[:] = jnp.where(gt1, a1, jnp.where(gt2, c, a2))
 
 
 @functools.partial(jax.jit, static_argnames=("L", "interpret"))
@@ -391,13 +401,15 @@ def bin_max2_scaled_single_pass(
     """One streaming pass over the int8 catalog with NO per-element
     validity mask (driver encodes it in ``bias_row``) and no threshold
     buffers — the minimal-VMEM layout (vmem_estimate_first) that lets a
-    full B=1024 batch stay resident so the catalog streams ONCE."""
+    full B=1024 batch stay resident so the catalog streams ONCE. The
+    kernel records chunk ids; global indices are reconstructed here
+    (``chunk * L + bin``)."""
     B, E = q.shape
     n_pad = codes_padded.shape[0]
     assert n_pad % L == 0
     grid = (n_pad // L,)
     bl = lambda c: (0, 0)  # noqa: E731
-    return pl.pallas_call(
+    m1, a1c, m2, a2c = pl.pallas_call(
         functools.partial(_bin_max2_scaled_nomask_kernel, L=L),
         grid=grid,
         in_specs=[
@@ -429,6 +441,13 @@ def bin_max2_scaled_single_pass(
         ),
         interpret=interpret,
     )(q, codes_padded, scales_row, bias_row)
+    col = jnp.arange(L, dtype=jnp.int32)[None, :]
+
+    def globalize(ac):
+        # never-filled slots keep the BIG_IDX sentinel
+        return jnp.where(ac == BIG_IDX, BIG_IDX, ac * L + col)
+
+    return m1, globalize(a1c), m2, globalize(a2c)
 
 
 def _bin_max2_scaled_kernel(
