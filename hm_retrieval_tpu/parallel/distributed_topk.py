@@ -22,7 +22,11 @@ import numpy as np
 from jax import shard_map
 from jax.sharding import NamedSharding, PartitionSpec as P
 
-from hm_retrieval_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
+from hm_retrieval_tpu.parallel.mesh import (
+    DATA_AXIS,
+    MODEL_AXIS,
+    place_global,
+)
 
 
 def shard_candidates(
@@ -45,9 +49,9 @@ def shard_candidates(
     row_shard = NamedSharding(mesh, P(MODEL_AXIS, None))
     vec_shard = NamedSharding(mesh, P(MODEL_AXIS))
     return (
-        jax.device_put(emb, row_shard),
-        jax.device_put(ids, vec_shard),
-        jax.device_put(bias, vec_shard),
+        place_global(emb, row_shard),
+        place_global(ids, vec_shard),
+        place_global(bias, vec_shard),
     )
 
 
@@ -175,11 +179,11 @@ def shard_candidates_quantized(
     row_shard = NamedSharding(mesh, P(MODEL_AXIS, None))
     vec_shard = NamedSharding(mesh, P(MODEL_AXIS))
     return (
-        jax.device_put(codes, row_shard),
-        jax.device_put(scales, vec_shard),
-        jax.device_put(emb, row_shard) if keep_fp32 else None,
-        jax.device_put(ids, vec_shard),
-        jax.device_put(bias, vec_shard),
+        place_global(codes, row_shard),
+        place_global(scales, vec_shard),
+        place_global(emb, row_shard) if keep_fp32 else None,
+        place_global(ids, vec_shard),
+        place_global(bias, vec_shard),
     )
 
 

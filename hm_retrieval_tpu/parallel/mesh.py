@@ -115,6 +115,20 @@ def row_sharded(mesh: Mesh, axis: str = MODEL_AXIS) -> NamedSharding:
     return NamedSharding(mesh, P(axis, None))
 
 
+def place_global(x, sharding: NamedSharding):
+    """Place a host-local array under ``sharding``. Multi-host safe:
+    with multiple processes each host must hold the FULL value, and the
+    global array is assembled from each host's local slice
+    (``make_array_from_callback``) — plain device_put to shardings that
+    span non-addressable devices is unsupported on some backends."""
+    if jax.process_count() == 1:
+        return jax.device_put(x, sharding)
+    x = np.asarray(x)
+    return jax.make_array_from_callback(
+        x.shape, sharding, lambda idx: x[idx]
+    )
+
+
 def replicate_pytree(tree, mesh: Mesh):
     """Place every leaf fully replicated over the mesh.
 

@@ -70,6 +70,21 @@ from jax.experimental import multihost_utils  # noqa: E402
 
 multihost_utils.sync_global_devices("index_artifact_written")
 
+# --- same eval with the catalog ROW-SHARDED over a 2-D data x model
+# mesh spanning both processes (distributed index + multi-host
+# lockstep eval composed) ---
+import dataclasses  # noqa: E402
+
+mesh_dm = make_mesh(data=2, model=2 * nprocs)
+dist_recalls = evaluation_runner(
+    dataclasses.replace(
+        settings, index_dirpath=settings.index_dirpath + "_dist"
+    ),
+    mesh=mesh_dm,
+    distributed_index=True,
+)
+multihost_utils.sync_global_devices("dist_index_written")
+
 # --- per-host-independent eval path: each rank streams its shard
 # subset against the saved index with NO mesh, then IndexRecall
 # cross_process sums {hits, seen} over the group ---
@@ -144,6 +159,9 @@ with open(outfile, "w") as f:
         {
             "rank": rank,
             "recalls": {str(k): v for k, v in recalls.items()},
+            "dist_recalls": {
+                str(k): v for k, v in dist_recalls.items()
+            },
             "local_recalls": {
                 str(k): v for k, v in local_recalls.items()
             },

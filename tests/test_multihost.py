@@ -207,6 +207,7 @@ class TestTwoProcessBringup:
         # both ranks computed the identical GLOBAL metric
         assert r0["recalls"] == r1["recalls"]
         assert r0["local_recalls"] == r1["local_recalls"]
+        assert r0["dist_recalls"] == r1["dist_recalls"]
         # each saw only part of the test set
         full_rows = ShardDataset(
             settings.test_shards_dirpath
@@ -220,5 +221,7 @@ class TestTwoProcessBringup:
         oracle_s = {str(k): v for k, v in oracle.items()}
         assert r0["recalls"] == oracle_s
         assert r0["local_recalls"] == oracle_s
+        # catalog row-sharded over the 2-host mesh: same global recall
+        assert r0["dist_recalls"] == oracle_s
         assert all(np.isfinite(r0["train_losses"]))
         assert len(r0["train_losses"]) == 3
