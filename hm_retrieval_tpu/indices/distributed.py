@@ -304,6 +304,7 @@ class DistributedQuantizedIndex(_DistributedIndexBase):
         recall_target: float = 0.95,
         method: str = "auto",
         pallas_rounds: int = 1,
+        pallas_fold: int = 1,
         interpret: bool = False,
     ):
         if mesh is None:
@@ -329,6 +330,7 @@ class DistributedQuantizedIndex(_DistributedIndexBase):
         self.rescore = bool(rescore)
         self.recall_target = float(recall_target)
         self.pallas_rounds = int(pallas_rounds)
+        self.pallas_fold = int(pallas_fold)
         self._host_identifiers = identifiers.astype(np.int32)
         self._host_embeddings = embeddings
         self._placed = shard_candidates_quantized(
@@ -343,6 +345,7 @@ class DistributedQuantizedIndex(_DistributedIndexBase):
                 method=method,
                 interpret=interpret,
                 pallas_rounds=pallas_rounds,
+                pallas_fold=pallas_fold,
                 data_sharded_queries=True,
             )
         )

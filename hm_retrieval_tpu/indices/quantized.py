@@ -133,6 +133,7 @@ class QuantizedIndex:
         recall_target: float = 0.95,
         method: str = "auto",
         pallas_rounds: int = 1,
+        pallas_fold: int = 1,
     ):
         if k <= 0:
             raise ValueError("k must be positive")
@@ -144,7 +145,14 @@ class QuantizedIndex:
             raise ValueError(f"unknown method {method!r}")
         if pallas_rounds < 1:
             raise ValueError("pallas_rounds must be >= 1")
+        if pallas_fold < 1:
+            raise ValueError("pallas_fold must be >= 1")
+        if pallas_fold > 1 and pallas_rounds != 1:
+            raise ValueError(
+                "pallas_fold > 1 requires pallas_rounds == 1"
+            )
         self.pallas_rounds = int(pallas_rounds)
+        self.pallas_fold = int(pallas_fold)
         identifiers = np.asarray(identifiers)
         embeddings = np.asarray(embeddings, np.float32)
         if identifiers.ndim != 1 or embeddings.ndim != 2:
@@ -353,7 +361,9 @@ class QuantizedIndex:
     @staticmethod
     @partial(
         jax.jit,
-        static_argnames=("k", "k_over", "n_valid", "max_rounds"),
+        static_argnames=(
+            "k", "k_over", "n_valid", "max_rounds", "fold"
+        ),
     )
     def _topk_pallas(
         query_embeddings,  # (B, E) fp32
@@ -365,6 +375,7 @@ class QuantizedIndex:
         k_over,
         n_valid,
         max_rounds,
+        fold,
     ):
         """Fused-kernel survivor selection: top-k_over of the
         dequantized scores via pallas_quantized_topk (the catalog
@@ -382,6 +393,7 @@ class QuantizedIndex:
             kk,
             n_valid=n_valid,
             max_rounds=max_rounds,
+            fold=fold,
             # interpret off-TPU: slow but correct, keeps the method
             # testable on the fake CPU mesh
             interpret=jax.default_backend() != "tpu",
@@ -416,6 +428,7 @@ class QuantizedIndex:
                 min(self.k_over, self.num_candidates),
                 self.num_candidates,
                 self.pallas_rounds,
+                self.pallas_fold,
             )
         return self._topk(
             query_embeddings,
@@ -469,6 +482,7 @@ class QuantizedIndex:
                     "recall_target": self.recall_target,
                     "method": self.method,
                     "pallas_rounds": self.pallas_rounds,
+                    "pallas_fold": self.pallas_fold,
                 },
                 f,
             )
@@ -503,6 +517,7 @@ class QuantizedIndex:
                     recall_target=meta.get("recall_target", 0.95),
                     method=method,
                     pallas_rounds=meta.get("pallas_rounds", 1),
+                    pallas_fold=meta.get("pallas_fold", 1),
                 )
                 # Preserve the exact saved codes (round-trip identity
                 # regardless of requantization drift).
@@ -521,6 +536,7 @@ class QuantizedIndex:
             idx.rescore = False
             idx.recall_target = meta.get("recall_target", 0.95)
             idx.pallas_rounds = meta.get("pallas_rounds", 1)
+            idx.pallas_fold = meta.get("pallas_fold", 1)
             codes = z["codes"]
             scales = z["scales"]
             identifiers = z["identifiers"]

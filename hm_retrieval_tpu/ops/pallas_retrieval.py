@@ -89,12 +89,20 @@ def vmem_estimate(B: int, E: int, L: int, keep_per_bin: int) -> int:
     return 4 * B * L * (1 + 2 + acc_bufs) + 4 * B * E + 8 * L * E
 
 
-def vmem_estimate_first(B: int, E: int, L: int) -> int:
+def vmem_estimate_first(
+    B: int, E: int, L: int, fold: int = 1
+) -> int:
     """VMEM bytes for the threshold-FREE single-pass kernels (scores +
     4 accumulators, no threshold buffers): ~29% less than the
     refinement-round layout, which is what lets a whole B=1024 batch
-    stay resident and the catalog stream ONCE."""
-    return 4 * B * L * (1 + 4) + 4 * B * E + 8 * L * E
+    stay resident and the catalog stream ONCE. ``fold`` widens the
+    score tile (and the double-buffered int8 chunk) by the tournament
+    pre-reduction factor."""
+    return (
+        4 * B * L * (fold + 4)
+        + 4 * B * E
+        + 2 * 2 * fold * L * E  # int8 chunk, double-buffered
+    )
 
 
 def pick_bins(
@@ -445,6 +453,135 @@ def bin_max2_scaled_single_pass(
 
     def globalize(ac):
         # never-filled slots keep the BIG_IDX sentinel
+        return jnp.where(ac == BIG_IDX, BIG_IDX, ac * L + col)
+
+    return m1, globalize(a1c), m2, globalize(a2c)
+
+
+def _bin_max2_scaled_fold_kernel(
+    q_ref,      # (B, E) VMEM, resident (compute dtype)
+    c_ref,      # (F*L, E) VMEM, current chunk — int8 codes
+    s_ref,      # (1, F*L) VMEM: per-row dequantization scales
+    b_ref,      # (1, F*L) VMEM: bias, -inf on EVERY invalid/pad row
+    m1_ref,
+    a1_ref,
+    m2_ref,
+    a2_ref,
+    *,
+    L: int,
+    F: int,
+):
+    """Fold-by-F tournament variant of the single-pass kernel: the
+    (B, F*L) score tile is max-reduced F->1 per bin BEFORE the top-2
+    cascade, so the expensive per-element cascade (2 compares + 6
+    selects) runs on 1/F of the elements at the cost of one
+    compare+max+select per fold step. This kernel is VPU-bound
+    (BASELINE.md roofline), so ops/element IS the wall clock.
+
+    Semantics: survivors become "top-2 per bin of the per-(chunk, bin)
+    fold maxima" — two true top-k items are only both lost if they land
+    in the SAME (chunk, bin) cell of F columns, probability
+    ~k^2 * F / (2N) (~0.2% of queries at k=100, F=4, N=10M), an order
+    below the bin-collision loss the rescore already absorbs.
+
+    Tile column j holds catalog row chunk*F*L + j; bin = j % L, fold
+    slot = j // L; a stores (chunk*F + slot), globalized by the caller
+    as a*L + bin."""
+    c = pl.program_id(0)
+
+    @pl.when(c == 0)
+    def _():
+        m1_ref[:] = jnp.full(m1_ref.shape, NEG_INF, m1_ref.dtype)
+        a1_ref[:] = jnp.full(a1_ref.shape, BIG_IDX, a1_ref.dtype)
+        m2_ref[:] = jnp.full(m2_ref.shape, NEG_INF, m2_ref.dtype)
+        a2_ref[:] = jnp.full(a2_ref.shape, BIG_IDX, a2_ref.dtype)
+
+    codes = c_ref[:].astype(q_ref.dtype)
+    scores = (
+        jnp.dot(
+            q_ref[:], codes.T, preferred_element_type=jnp.float32
+        )
+        * s_ref[0, :][None, :]
+        + b_ref[0, :][None, :]
+    )  # (B, F*L)
+    s = scores[:, :L]
+    slot = jnp.zeros(s.shape, jnp.int32)
+    for t in range(1, F):
+        st = scores[:, t * L: (t + 1) * L]
+        take = st > s
+        s = jnp.where(take, st, s)
+        slot = jnp.where(take, t, slot)
+
+    base = c * F
+    m1, a1 = m1_ref[:], a1_ref[:]
+    m2, a2 = m2_ref[:], a2_ref[:]
+    gt1 = s > m1
+    gt2 = s > m2
+    sid = base + slot
+    m1_ref[:] = jnp.where(gt1, s, m1)
+    a1_ref[:] = jnp.where(gt1, sid, a1)
+    m2_ref[:] = jnp.where(gt1, m1, jnp.where(gt2, s, m2))
+    a2_ref[:] = jnp.where(gt1, a1, jnp.where(gt2, sid, a2))
+
+
+@functools.partial(
+    jax.jit, static_argnames=("L", "F", "interpret")
+)
+def bin_max2_scaled_fold_pass(
+    q: jax.Array,           # (B, E) compute dtype
+    codes_padded: jax.Array,  # (N_pad, E) int8, N_pad % (F*L) == 0
+    scales_row: jax.Array,  # (1, N_pad)
+    bias_row: jax.Array,    # (1, N_pad), -inf on every invalid row
+    L: int,
+    F: int,
+    interpret: bool = False,
+):
+    """Single streaming pass with fold-by-F tournament pre-reduction
+    (see _bin_max2_scaled_fold_kernel). Returns globalized indices."""
+    B, E = q.shape
+    n_pad = codes_padded.shape[0]
+    assert n_pad % (F * L) == 0
+    grid = (n_pad // (F * L),)
+    bl = lambda c: (0, 0)  # noqa: E731
+    m1, a1c, m2, a2c = pl.pallas_call(
+        functools.partial(
+            _bin_max2_scaled_fold_kernel, L=L, F=F
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((B, E), bl, memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (F * L, E),
+                lambda c: (c, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, F * L), lambda c: (0, c), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, F * L), lambda c: (0, c), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=tuple(
+            pl.BlockSpec((B, L), bl, memory_space=pltpu.VMEM)
+            for _ in range(4)
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, L), jnp.float32),
+            jax.ShapeDtypeStruct((B, L), jnp.int32),
+            jax.ShapeDtypeStruct((B, L), jnp.float32),
+            jax.ShapeDtypeStruct((B, L), jnp.int32),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * n_pad * E,
+            bytes_accessed=n_pad * E + 4 * B * L * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(q, codes_padded, scales_row, bias_row)
+    col = jnp.arange(L, dtype=jnp.int32)[None, :]
+
+    def globalize(ac):
         return jnp.where(ac == BIG_IDX, BIG_IDX, ac * L + col)
 
     return m1, globalize(a1c), m2, globalize(a2c)
@@ -1015,6 +1152,7 @@ def pallas_exact_topk(
         "interpret",
         "compute_dtype",
         "q_block",
+        "fold",
     ),
 )
 def pallas_quantized_topk(
@@ -1029,6 +1167,7 @@ def pallas_quantized_topk(
     interpret: bool = False,
     compute_dtype=jnp.bfloat16,
     q_block: int = None,
+    fold: int = None,
 ):
     """Exact top-k of Q @ (codes * scales)^T streaming the catalog as
     int8 — 4x less HBM traffic than fp32, 2x less than the bf16 exact
@@ -1058,6 +1197,12 @@ def pallas_quantized_topk(
     if k > n_valid:
         raise ValueError(f"k={k} > n_valid={n_valid}")
     single_pass = max_rounds == 1
+    if fold is None:
+        fold = 1
+    if fold > 1 and not single_pass:
+        raise ValueError(
+            "fold > 1 applies to single-pass mode (max_rounds=1) only"
+        )
     if q_block is None:
         if single_pass:
             # Single-pass mode has no refinement rounds for small
@@ -1098,16 +1243,18 @@ def pallas_quantized_topk(
     if k > L:
         raise ValueError(f"k={k} must be <= L={L}")
     est = (
-        vmem_estimate_first(B_blk, E, L)
+        vmem_estimate_first(B_blk, E, L, fold)
         if single_pass
         else vmem_estimate(B_blk, E, L, 2)
     )
     if est > vmem_budget() and not interpret:
         raise ValueError(
             f"estimated VMEM {est/1e6:.1f}MB exceeds this "
-            f"device's budget; reduce L (got {L}) or q_block {B_blk}"
+            f"device's budget; reduce L (got {L}), fold ({fold}) or "
+            f"q_block {B_blk}"
         )
-    n_pad = ((N + L - 1) // L) * L
+    chunk_cols = fold * L
+    n_pad = ((N + chunk_cols - 1) // chunk_cols) * chunk_cols
     queries = queries.astype(compute_dtype)
     codes_p = jnp.pad(codes, ((0, n_pad - N), (0, 0)))
     scales_row = (
@@ -1132,14 +1279,25 @@ def pallas_quantized_topk(
         )
         vs, idxs = [], []
         for s in range(0, B, B_blk):
-            m1, a1, m2, a2 = bin_max2_scaled_single_pass(
-                queries[s : s + B_blk],
-                codes_p,
-                scales_row,
-                bias_inf,
-                L,
-                interpret,
-            )
+            if fold > 1:
+                m1, a1, m2, a2 = bin_max2_scaled_fold_pass(
+                    queries[s : s + B_blk],
+                    codes_p,
+                    scales_row,
+                    bias_inf,
+                    L,
+                    fold,
+                    interpret,
+                )
+            else:
+                m1, a1, m2, a2 = bin_max2_scaled_single_pass(
+                    queries[s : s + B_blk],
+                    codes_p,
+                    scales_row,
+                    bias_inf,
+                    L,
+                    interpret,
+                )
             v, sel = lax.top_k(
                 jnp.concatenate([m1, m2], axis=1), k
             )

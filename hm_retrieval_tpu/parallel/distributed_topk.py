@@ -196,6 +196,7 @@ def make_distributed_quantized_topk(
     method: str = "scan",
     interpret: bool = False,
     pallas_rounds: int = 1,
+    pallas_fold: int = 1,
     data_sharded_queries: bool = False,
 ):
     """Returns topk(queries, codes, scales, emb_or_None, ids, bias) ->
@@ -240,6 +241,7 @@ def make_distributed_quantized_topk(
                 k_over,
                 bias=bias_shard,
                 max_rounds=pallas_rounds,
+                fold=pallas_fold,
                 interpret=interpret,
             )
             # A shard with < k_over finite-bias rows leaves -inf

@@ -295,3 +295,71 @@ class TestSinglePassLayout:
             [len(a & b) / k for a, b in zip(ref_sets, got_sets)]
         )
         assert recall >= 0.95
+
+
+class TestFoldPass:
+    def test_fold_matches_oracle(self, rng):
+        """Fold-by-F survivor selection: near-oracle recall and exact
+        validity semantics (bias-encoded pads never surface)."""
+        import jax.numpy as jnp
+
+        from hm_retrieval_tpu.ops.pallas_retrieval import (
+            pallas_quantized_topk,
+        )
+        from hm_retrieval_tpu.ops.topk import topk_dot
+
+        N, E, B, k = 5000, 16, 16, 10
+        c = rng.normal(size=(N, E)).astype(np.float32)
+        q = rng.normal(size=(B, E)).astype(np.float32)
+        scales = np.max(np.abs(c), axis=1) / 127.0
+        codes = np.clip(
+            np.rint(c / scales[:, None]), -127, 127
+        ).astype(np.int8)
+        n_valid = 4321
+
+        deq = codes.astype(np.float32) * scales[:, None]
+        _, i_ref = topk_dot(
+            jnp.asarray(q), jnp.asarray(deq[:n_valid]), k
+        )
+        ref_sets = [set(r) for r in np.asarray(i_ref)]
+        for F in (2, 4):
+            v, idx, rounds = pallas_quantized_topk(
+                jnp.asarray(q),
+                jnp.asarray(codes),
+                jnp.asarray(scales),
+                k,
+                n_valid=n_valid,
+                max_rounds=1,
+                interpret=True,
+                compute_dtype=jnp.float32,
+                fold=F,
+                L=256,
+            )
+            assert int(rounds) == 1
+            assert np.asarray(idx).max() < n_valid
+            got_sets = [set(r) for r in np.asarray(idx)]
+            recall = np.mean(
+                [
+                    len(a & b) / k
+                    for a, b in zip(ref_sets, got_sets)
+                ]
+            )
+            assert recall >= 0.9, (F, recall)
+
+    def test_fold_rejected_with_rounds(self, rng):
+        import pytest as _pytest
+
+        from hm_retrieval_tpu.ops.pallas_retrieval import (
+            pallas_quantized_topk,
+        )
+
+        with _pytest.raises(ValueError, match="fold"):
+            pallas_quantized_topk(
+                np.zeros((4, 16), np.float32),
+                np.zeros((512, 16), np.int8),
+                np.ones(512, np.float32),
+                5,
+                max_rounds=2,
+                fold=2,
+                interpret=True,
+            )
