@@ -102,13 +102,17 @@ def main():
     _, want = jax.jit(exact)(q, arrays)
 
     cases = [
-        # (rescore, q_block, L, fold) — round 2: push fold at iso-L=512
+        # (rescore, q_block, L, fold) — the measured frontier
+        # (2026-08-21, BASELINE.md): deeper folds win while the
+        # F*L-wide score tile fits VMEM; recall tracks L, not fold.
+        (True, 1024, 512, 1),
+        (True, 1024, 512, 2),
         (True, 512, 512, 8),
-        (True, 256, 512, 8),
-        (True, 256, 512, 16),
+        (True, 256, 512, 16),   # auto default: 23.5ms @ 0.9903
         (True, 256, 768, 8),
+        (False, 1024, 512, 1),
         (False, 512, 512, 8),
-        (False, 256, 512, 16),
+        (False, 256, 512, 16),  # auto default: 19.4ms @ 0.9826
     ]
     budget = vmem_budget()
     for rescore, q_block, L, fold in cases:

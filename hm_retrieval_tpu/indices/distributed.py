@@ -304,7 +304,7 @@ class DistributedQuantizedIndex(_DistributedIndexBase):
         recall_target: float = 0.95,
         method: str = "auto",
         pallas_rounds: int = 1,
-        pallas_fold: int = 1,
+        pallas_fold: int = None,
         interpret: bool = False,
     ):
         if mesh is None:
@@ -330,7 +330,9 @@ class DistributedQuantizedIndex(_DistributedIndexBase):
         self.rescore = bool(rescore)
         self.recall_target = float(recall_target)
         self.pallas_rounds = int(pallas_rounds)
-        self.pallas_fold = int(pallas_fold)
+        self.pallas_fold = (
+            None if pallas_fold is None else int(pallas_fold)
+        )
         self._host_identifiers = identifiers.astype(np.int32)
         self._host_embeddings = embeddings
         self._placed = shard_candidates_quantized(

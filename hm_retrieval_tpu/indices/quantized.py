@@ -133,7 +133,7 @@ class QuantizedIndex:
         recall_target: float = 0.95,
         method: str = "auto",
         pallas_rounds: int = 1,
-        pallas_fold: int = 1,
+        pallas_fold: int = None,
     ):
         if k <= 0:
             raise ValueError("k must be positive")
@@ -145,14 +145,18 @@ class QuantizedIndex:
             raise ValueError(f"unknown method {method!r}")
         if pallas_rounds < 1:
             raise ValueError("pallas_rounds must be >= 1")
-        if pallas_fold < 1:
-            raise ValueError("pallas_fold must be >= 1")
-        if pallas_fold > 1 and pallas_rounds != 1:
-            raise ValueError(
-                "pallas_fold > 1 requires pallas_rounds == 1"
-            )
+        if pallas_fold is not None:
+            if pallas_fold < 1:
+                raise ValueError("pallas_fold must be >= 1")
+            if pallas_fold > 1 and pallas_rounds != 1:
+                raise ValueError(
+                    "pallas_fold > 1 requires pallas_rounds == 1"
+                )
         self.pallas_rounds = int(pallas_rounds)
-        self.pallas_fold = int(pallas_fold)
+        # None = kernel auto policy (measured (q_block, fold) table)
+        self.pallas_fold = (
+            None if pallas_fold is None else int(pallas_fold)
+        )
         identifiers = np.asarray(identifiers)
         embeddings = np.asarray(embeddings, np.float32)
         if identifiers.ndim != 1 or embeddings.ndim != 2:
@@ -517,7 +521,7 @@ class QuantizedIndex:
                     recall_target=meta.get("recall_target", 0.95),
                     method=method,
                     pallas_rounds=meta.get("pallas_rounds", 1),
-                    pallas_fold=meta.get("pallas_fold", 1),
+                    pallas_fold=meta.get("pallas_fold"),
                 )
                 # Preserve the exact saved codes (round-trip identity
                 # regardless of requantization drift).
@@ -536,7 +540,7 @@ class QuantizedIndex:
             idx.rescore = False
             idx.recall_target = meta.get("recall_target", 0.95)
             idx.pallas_rounds = meta.get("pallas_rounds", 1)
-            idx.pallas_fold = meta.get("pallas_fold", 1)
+            idx.pallas_fold = meta.get("pallas_fold")
             codes = z["codes"]
             scales = z["scales"]
             identifiers = z["identifiers"]

@@ -113,6 +113,7 @@ def pick_bins(
     target: int = None,
     budget: int = None,
     first_pass: bool = False,
+    fold: int = 1,
 ) -> "int | None":
     """Lane-aligned bin count for the kernel: the smallest feasible L
     at least ``target`` (default ``4 * keep_per_bin * k``; else the
@@ -133,7 +134,7 @@ def pick_bins(
     if budget is None:
         budget = vmem_budget()
     est = (
-        (lambda b, e, l: vmem_estimate_first(b, e, l))
+        (lambda b, e, l: vmem_estimate_first(b, e, l, fold))
         if first_pass
         else (lambda b, e, l: vmem_estimate(b, e, l, keep_per_bin))
     )
@@ -1197,31 +1198,56 @@ def pallas_quantized_topk(
     if k > n_valid:
         raise ValueError(f"k={k} > n_valid={n_valid}")
     single_pass = max_rounds == 1
-    if fold is None:
-        fold = 1
-    if fold > 1 and not single_pass:
+    if fold is not None and fold > 1 and not single_pass:
         raise ValueError(
             "fold > 1 applies to single-pass mode (max_rounds=1) only"
         )
-    if q_block is None:
-        if single_pass:
-            # Single-pass mode has no refinement rounds for small
-            # blocks to save, while every extra block RE-STREAMS the
-            # whole catalog from HBM. The threshold-free kernel's
-            # VMEM layout (vmem_estimate_first) fits the whole B=1024
-            # batch resident at L>=512, so prefer the LARGEST feasible
-            # block — at the 10M point that's 1 catalog stream instead
-            # of 4 (VERDICT r2 weak #1).
-            for cand_blk in (B, 1024, 512, 256, 128):
-                if cand_blk <= B and pick_bins(
-                    min(B, cand_blk), E, k, 2, first_pass=True
-                ):
-                    q_block = cand_blk
-                    break
-            else:
-                q_block = DEFAULT_Q_BLOCK
+    if single_pass and (q_block is None or fold is None):
+        # Joint (q_block, fold) auto policy, in measured preference
+        # order at the 10M point (BASELINE.md fold sweep, 2026-08-21:
+        # (256, f16) 23.5ms < (512, f8) 24.9 < (1024, f2) 30.7 <
+        # (1024, f1) 37.9 rescored, identical recall at iso-L=512).
+        # The kernel is VPU-cascade-bound, so deeper folds win as long
+        # as the wider score tile fits VMEM; folds are skipped for
+        # small catalogs where the F*L-wide chunk would be mostly
+        # padding.
+        budget = vmem_budget()
+        L_probe = max(k, 512)
+        chosen = None
+        for qb_c, f_c in (
+            (256, 16),
+            (512, 8),
+            (1024, 2),
+            (1024, 1),
+            (512, 1),
+            (256, 1),
+            (128, 1),
+        ):
+            if q_block is not None and q_block != qb_c:
+                continue
+            if fold is not None and fold != f_c:
+                continue
+            if f_c > 1 and f_c * L_probe * 2 > N:
+                continue  # fold chunk would be mostly padding
+            qb_eff = min(B, qb_c)
+            if (
+                vmem_estimate_first(qb_eff, E, L_probe, f_c)
+                <= budget
+            ):
+                chosen = (qb_c, f_c)
+                break
+        if chosen is not None:
+            q_block = chosen[0] if q_block is None else q_block
+            fold = chosen[1] if fold is None else fold
         else:
-            q_block = DEFAULT_Q_BLOCK
+            q_block = (
+                DEFAULT_Q_BLOCK if q_block is None else q_block
+            )
+            fold = 1 if fold is None else fold
+    if fold is None:
+        fold = 1
+    if q_block is None:
+        q_block = DEFAULT_Q_BLOCK
     B_blk = min(B, q_block) if q_block else B
     if L is None:
         # Single-pass mode: collisions only trim the survivor margin
@@ -1234,6 +1260,7 @@ def pallas_quantized_topk(
             keep_per_bin=2,
             target=target,
             first_pass=single_pass,
+            fold=fold,
         )
         if L is None:
             raise ValueError(

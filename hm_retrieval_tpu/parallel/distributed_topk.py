@@ -196,7 +196,7 @@ def make_distributed_quantized_topk(
     method: str = "scan",
     interpret: bool = False,
     pallas_rounds: int = 1,
-    pallas_fold: int = 1,
+    pallas_fold: int = None,
     data_sharded_queries: bool = False,
 ):
     """Returns topk(queries, codes, scales, emb_or_None, ids, bias) ->
