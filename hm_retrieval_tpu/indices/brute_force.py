@@ -134,25 +134,11 @@ class BruteForceIndex:
     ) -> "BruteForceIndex":
         """Embed the full catalog with the candidate tower, batching to a
         fixed padded size so the tower compiles exactly once."""
-        ids_parts, emb_parts = [], []
-        for batch in batches:
-            n = len(batch[candidate_id_col])
-            if n < batch_size:  # pad the tail batch (axis 0), trim after
-                def _pad(v):
-                    v = np.asarray(v)
-                    widths = [(0, batch_size - n)] + [(0, 0)] * (
-                        v.ndim - 1
-                    )
-                    return np.pad(v, widths)
+        from hm_retrieval_tpu.indices.builder import collect_catalog
 
-                batch = {
-                    key: _pad(v) for key, v in batch.items()
-                }
-            emb = np.asarray(embed_fn(batch))[:n]
-            ids_parts.append(np.asarray(batch[candidate_id_col])[:n])
-            emb_parts.append(emb)
-        identifiers = np.concatenate(ids_parts)
-        embeddings = np.concatenate(emb_parts)
+        identifiers, embeddings = collect_catalog(
+            candidate_id_col, embed_fn, batches, batch_size
+        )
         logger.info(
             "Built brute-force index over %d candidates (dim %d)",
             len(identifiers),

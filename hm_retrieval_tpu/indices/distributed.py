@@ -53,29 +53,9 @@ logger = logging.getLogger(__name__)
 Batch = Dict[str, jax.Array]
 
 
-def _collect_batches(
-    candidate_id_col: str,
-    embed_fn: Callable[[Batch], jax.Array],
-    batches: Iterable[Batch],
-    batch_size: int,
-):
-    """Embed the catalog with the candidate tower at a fixed padded batch
-    size (one compile), returning host (ids, embeddings). Same contract
-    as the single-device builders (ref: runner.py:88-93)."""
-    ids_parts, emb_parts = [], []
-    for batch in batches:
-        n = len(batch[candidate_id_col])
-        if n < batch_size:
-            def _pad(v):
-                v = np.asarray(v)
-                widths = [(0, batch_size - n)] + [(0, 0)] * (v.ndim - 1)
-                return np.pad(v, widths)
-
-            batch = {key: _pad(v) for key, v in batch.items()}
-        emb = np.asarray(embed_fn(batch))[:n]
-        ids_parts.append(np.asarray(batch[candidate_id_col])[:n])
-        emb_parts.append(emb)
-    return np.concatenate(ids_parts), np.concatenate(emb_parts)
+from hm_retrieval_tpu.indices.builder import (  # noqa: E402
+    collect_catalog as _collect_batches,
+)
 
 
 def _validate(k: int, identifiers: np.ndarray, embeddings: np.ndarray):
@@ -423,6 +403,7 @@ class DistributedQuantizedIndex(_DistributedIndexBase):
                     "recall_target": self.recall_target,
                     "method": "auto",
                     "pallas_rounds": self.pallas_rounds,
+                    "pallas_fold": self.pallas_fold,
                     "distributed": True,
                     "distributed_method": self.method,
                 },
@@ -454,6 +435,9 @@ class DistributedQuantizedIndex(_DistributedIndexBase):
             )
             kwargs.setdefault(
                 "pallas_rounds", meta.get("pallas_rounds", 1)
+            )
+            kwargs.setdefault(
+                "pallas_fold", meta.get("pallas_fold")
             )
             kwargs.setdefault(
                 "method", meta.get("distributed_method", "auto")

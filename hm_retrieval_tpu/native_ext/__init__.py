@@ -30,7 +30,18 @@ _lib: Optional[ctypes.CDLL] = None
 _tried = False
 
 
-def _build() -> bool:
+def _compile(src: str, out_path: str, extra_flags=()) -> bool:
+    """g++ -shared with an ATOMIC publish: compile to a temp file in
+    the destination directory, then os.replace into place — concurrent
+    builders (multi-host ranks, parallel pytest sessions) each produce
+    a complete file and the last rename wins; a loader can never dlopen
+    a half-written library."""
+    import tempfile
+
+    fd, tmp = tempfile.mkstemp(
+        suffix=".so", dir=os.path.dirname(out_path)
+    )
+    os.close(fd)
     try:
         subprocess.run(
             [
@@ -39,19 +50,29 @@ def _build() -> bool:
                 "-std=c++17",
                 "-fPIC",
                 "-pthread",
+                *extra_flags,
                 "-shared",
                 "-o",
-                _LIB_PATH,
-                _SRC,
+                tmp,
+                src,
             ],
             check=True,
             capture_output=True,
             timeout=120,
         )
+        os.replace(tmp, out_path)
         return True
     except Exception as e:  # toolchain missing / compile error
-        logger.warning("native shardio build failed: %s", e)
+        logger.warning("native build of %s failed: %s", src, e)
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
         return False
+
+
+def _build() -> bool:
+    return _compile(_SRC, _LIB_PATH)
 
 
 def _load() -> Optional[ctypes.CDLL]:
@@ -157,28 +178,11 @@ _seq_tried = False
 def _build_seq() -> bool:
     import sysconfig
 
-    try:
-        subprocess.run(
-            [
-                "g++",
-                "-O3",
-                "-std=c++17",
-                "-fPIC",
-                "-pthread",
-                "-shared",
-                f"-I{sysconfig.get_paths()['include']}",
-                "-o",
-                _SEQ_LIB_PATH,
-                _SEQ_SRC,
-            ],
-            check=True,
-            capture_output=True,
-            timeout=120,
-        )
-        return True
-    except Exception as e:
-        logger.warning("native seqencode build failed: %s", e)
-        return False
+    return _compile(
+        _SEQ_SRC,
+        _SEQ_LIB_PATH,
+        extra_flags=(f"-I{sysconfig.get_paths()['include']}",),
+    )
 
 
 def _load_seq():

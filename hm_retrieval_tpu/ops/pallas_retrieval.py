@@ -1211,8 +1211,6 @@ def pallas_quantized_topk(
         # as the wider score tile fits VMEM; folds are skipped for
         # small catalogs where the F*L-wide chunk would be mostly
         # padding.
-        budget = vmem_budget()
-        L_probe = max(k, 512)
         chosen = None
         for qb_c, f_c in (
             (256, 16),
@@ -1227,13 +1225,20 @@ def pallas_quantized_topk(
                 continue
             if fold is not None and fold != f_c:
                 continue
-            if f_c > 1 and f_c * L_probe * 2 > N:
+            if f_c > 1 and f_c * max(k, 512) * 2 > N:
                 continue  # fold chunk would be mostly padding
-            qb_eff = min(B, qb_c)
-            if (
-                vmem_estimate_first(qb_eff, E, L_probe, f_c)
-                <= budget
-            ):
+            # feasibility = the ACTUAL L pick_bins would choose for
+            # this (q_block, fold) — probing a fixed L underestimates
+            # the footprint when k forces a larger bin count
+            if pick_bins(
+                min(B, qb_c),
+                E,
+                k,
+                keep_per_bin=2,
+                target=max(k, 512),
+                first_pass=True,
+                fold=f_c,
+            ) is not None:
                 chosen = (qb_c, f_c)
                 break
         if chosen is not None:

@@ -63,28 +63,25 @@ def _pad_batch(batch: Dict[str, np.ndarray], size: int):
     return {k: pad(v) for k, v in batch.items()}, n
 
 
-def _allgather_max(n: int) -> int:
-    """Max of a host-local int across every JAX process (lockstep batch
-    counts for multi-host eval)."""
+def _allgather_reduce(n: int, op) -> int:
+    """Reduce a host-local int across every JAX process (lockstep
+    batch/step counts for multi-host runs): max for eval batch counts
+    (drained hosts feed padding), min for train step counts."""
     if jax.process_count() == 1:
         return int(n)
     from jax.experimental import multihost_utils
 
     return int(
-        np.max(multihost_utils.process_allgather(np.asarray([n])))
+        op(multihost_utils.process_allgather(np.asarray([n])))
     )
+
+
+def _allgather_max(n: int) -> int:
+    return _allgather_reduce(n, np.max)
 
 
 def _allgather_min(n: int) -> int:
-    """Min of a host-local int across every JAX process (lockstep step
-    counts for multi-host training)."""
-    if jax.process_count() == 1:
-        return int(n)
-    from jax.experimental import multihost_utils
-
-    return int(
-        np.min(multihost_utils.process_allgather(np.asarray([n])))
-    )
+    return _allgather_reduce(n, np.min)
 
 
 def _is_coordinator() -> bool:

@@ -363,3 +363,40 @@ class TestFoldPass:
                 fold=2,
                 interpret=True,
             )
+
+
+class TestAutoPolicyLargeK:
+    def test_large_k_over_still_feasible(self, rng):
+        """Regression (round-3 review finding): the joint (q_block,
+        fold) auto policy must probe feasibility with the ACTUAL L that
+        pick_bins would choose — with k_over=600 (k=150, oversample=4)
+        the fixed-L probe locked in q_block=1024 and then raised at L
+        selection, where smaller blocks work."""
+        import jax.numpy as jnp
+
+        from hm_retrieval_tpu.ops.pallas_retrieval import (
+            pallas_quantized_topk,
+        )
+
+        # B=1024 is load-bearing: the broken policy chose q_block=1024
+        # (feasible at the fixed probe L) and then failed at the real
+        # L >= 600 selection
+        N, E, B, k_over = 2000, 128, 1024, 600
+        c = rng.normal(size=(N, E)).astype(np.float32)
+        scales = np.max(np.abs(c), axis=1) / 127.0
+        codes = np.clip(
+            np.rint(c / scales[:, None]), -127, 127
+        ).astype(np.int8)
+        q = rng.normal(size=(B, E)).astype(np.float32)
+        # must not raise "no feasible bin count"
+        v, idx, rounds = pallas_quantized_topk(
+            jnp.asarray(q),
+            jnp.asarray(codes),
+            jnp.asarray(scales),
+            k_over,
+            max_rounds=1,
+            interpret=True,
+            compute_dtype=jnp.float32,
+        )
+        assert v.shape == (B, k_over)
+        assert int(rounds) == 1
