@@ -34,7 +34,8 @@ from hm_retrieval_tpu.ops.pallas_retrieval import (  # noqa: E402
     vmem_estimate_first,
 )
 
-B, E, K = 1024, 128, 100
+B, K = 1024, 100
+E = int(os.environ.get("TUNE_E", "128"))
 
 
 @jax.jit
