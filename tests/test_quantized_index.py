@@ -349,3 +349,27 @@ class TestRunnerIntegration:
         assert len(rows) == 3 and all(
             len(r) == 5 for r in rows
         )
+
+
+class TestSingleQueryServing:
+    def test_b1_query(self, rng):
+        """B=1 single-request serving path through the pallas engine
+        (validated compiled on real TPU: 0.52ms over a 1M catalog,
+        BASELINE.md)."""
+        import jax.numpy as jnp
+
+        from hm_retrieval_tpu.indices.quantized import QuantizedIndex
+
+        N, E, k = 2000, 16, 10
+        emb = rng.normal(size=(N, E)).astype(np.float32)
+        ids = np.arange(1, N + 1, dtype=np.int32)
+        idx = QuantizedIndex(k, ids, emb, method="pallas")
+        q = rng.normal(size=(1, E)).astype(np.float32)
+        s, got = idx.topk_from_embeddings(jnp.asarray(q))
+        assert got.shape == (1, k)
+        ref = BruteForceIndex(k, ids, emb, method="full")
+        _, want = ref.topk_from_embeddings(jnp.asarray(q))
+        overlap = len(
+            set(np.asarray(got)[0]) & set(np.asarray(want)[0])
+        )
+        assert overlap >= k - 1
