@@ -428,10 +428,13 @@ def main():
                 *retrieval_cfg, method=args.retrieval_method
             )
         )
-    if args.quantized:
+    if not args.skip_retrieval:
+        # the ANN-family headline ships in the default run (the 10M
+        # point stays behind --quantized: ~3GB of on-device catalog)
         details["quantized_1m"] = bench_quantized(
             50, 1024, 1_048_576, 128, 100
         )
+    if args.quantized:
         details["quantized_10m"] = bench_quantized(
             20, 1024, 10_000_000, 64, 100
         )
