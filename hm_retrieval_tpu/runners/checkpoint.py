@@ -15,7 +15,6 @@ import os
 from typing import Optional
 
 import jax
-import numpy as np
 import orbax.checkpoint as ocp
 
 from hm_retrieval_tpu.models.two_tower import TrainState
