@@ -69,6 +69,7 @@ class ShardDataset:
             self.manifest = json.load(f)
         self.num_rows: int = self.manifest["num_rows"]
         self.feature_dtypes: Dict[str, str] = self.manifest["features"]
+        self._total_num_shards = len(all_paths)
         self._all_shard_indices = [
             i
             for i in range(len(all_paths))
@@ -84,8 +85,11 @@ class ShardDataset:
         (pre-max_rows artifacts)."""
         if self._local_num_rows is None:
             max_rows = self.manifest.get("max_rows")
+            # fallback must be the TOTAL shard count (shard_paths is the
+            # process-LOCAL subset; dividing num_rows across a local
+            # count would misplace the short last shard)
             n_shards = self.manifest.get(
-                "num_shards", len(self.shard_paths)
+                "num_shards", self._total_num_shards
             )
             if max_rows:
                 last = self.num_rows - (n_shards - 1) * max_rows

@@ -255,6 +255,14 @@ def evaluate(
         q = query_fn(params, jbatch)
         _, ids = index.topk_from_embeddings(q)
         metric.update(ids, jbatch[cid], valid_mask=gmask)
+    if P == 1 and next(batches, None) is not None:
+        # n_batches comes from the manifest-derived local_num_rows; a
+        # stale/low count would silently drop eval rows and skew recall
+        raise RuntimeError(
+            "eval dataset yielded more batches than its manifest row "
+            "count implies — the shard manifest is stale; rewrite the "
+            "shards (data/shard_writer.py) or fix num_rows"
+        )
     return metric.log_metric(epoch, writer)
 
 
@@ -581,10 +589,13 @@ def modelling_runner(
             # every process dispatches the same lockstep computations
             t0 = time.time()
             local_bs = tc.train_batch_size // pc
+            # disjoint seed streams per (epoch, process): epoch*pc+pi
+            # never collides across pairs (plain epoch+pi would reuse
+            # host 0 epoch 1's shuffle order as host 1 epoch 0's)
             batches = train_ds.iter_batches(
                 local_bs,
                 shuffle_buffer_size=tc.shuffle_buffer_size,
-                seed=tc.seed + epoch + pi,
+                seed=tc.seed + epoch * pc + pi,
                 drop_remainder=True,
             )
             n_steps = None

@@ -78,10 +78,14 @@ inline int32_t vocab_find(const SeqVocab& v, const char* s, size_t n) {
 void vocab_insert(SeqVocab& v, const char* s, size_t n, int32_t id) {
   uint64_t i = fnv1a(s, n) & v.mask;
   while (v.slots[i].id != 0) {
-    const Slot& sl = v.slots[i];
+    Slot& sl = v.slots[i];
     if (sl.len == n &&
-        std::memcmp(v.pool.data() + sl.off, s, n) == 0)
-      return;  // duplicate vocab token: first id wins (dict semantics)
+        std::memcmp(v.pool.data() + sl.off, s, n) == 0) {
+      // duplicate vocab token: LAST id wins, matching the Python
+      // oracle's dict comprehension (schema/features.py _lookup)
+      sl.id = id;
+      return;
+    }
     i = (i + 1) & v.mask;
   }
   Slot& sl = v.slots[i];

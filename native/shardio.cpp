@@ -120,8 +120,9 @@ void* vocab_create(const char* data, const uint64_t* offsets,
   v->map.reserve(n * 2);
   for (uint32_t i = 0; i < n; ++i) {
     std::string tok(data + offsets[i], offsets[i + 1] - offsets[i]);
-    // first occurrence wins (vocabs are unique anyway)
-    v->map.emplace(std::move(tok), static_cast<int32_t>(i) + 1);
+    // LAST occurrence wins for duplicate tokens, matching the Python
+    // oracle's dict comprehension (schema/features.py _lookup)
+    v->map[std::move(tok)] = static_cast<int32_t>(i) + 1;
   }
   return v;
 }
@@ -171,7 +172,7 @@ void* vocab_create_fixed(const char* data, uint64_t width,
   v->map.reserve(n * 2);
   for (uint32_t i = 0; i < n; ++i) {
     auto tok = fixed_token(data, width, i);
-    v->map.emplace(std::string(tok), static_cast<int32_t>(i) + 1);
+    v->map[std::string(tok)] = static_cast<int32_t>(i) + 1;
   }
   return v;
 }

@@ -50,6 +50,26 @@ class TestNativeVocab:
         got = nv.encode(np.array(["☃", "", "héllo", "nope"]))
         np.testing.assert_array_equal(got, [3, 1, 2, 0])
 
+    def test_duplicate_vocab_tokens_last_wins(self):
+        # user-supplied vocabs may contain duplicates; both native paths
+        # must match the Python dict-comprehension oracle (last id wins)
+        vocab = np.array(["a", "b", "a", "c", "b"])
+        oracle = {t: i + 1 for i, t in enumerate(vocab)}
+        toks = np.array(["a", "b", "c", "zzz"])
+        expect = [oracle["a"], oracle["b"], oracle["c"], 0]
+        nv = native_ext.NativeVocab(vocab)  # shardio path
+        np.testing.assert_array_equal(nv.encode(toks), expect)
+        f = Feature(
+            "x",
+            FeatureKind.CATEGORICAL,
+            FeatureFamily.QUERY,
+            embedding_size=4,
+            vocab=vocab,
+        )  # seqencode path (object-dtype input)
+        np.testing.assert_array_equal(
+            f.encode(toks.astype(object)), expect
+        )
+
 
 class TestGatherRows:
     def test_matches_numpy_2d(self, rng):
