@@ -289,11 +289,15 @@ class BruteForceIndex:
                 jax.default_backend(),
             )
             method = "partial_reduce"
-        with np.load(os.path.join(dirpath, "index.npz")) as z:
-            return cls(
-                meta["k"],
-                z["identifiers"],
-                z["embeddings"],
-                method=method,
-                recall_target=meta.get("recall_target", 0.95),
-            )
+        from hm_retrieval_tpu.indices.artifact import (
+            load_index_arrays,
+        )
+
+        z = load_index_arrays(dirpath)  # single-file OR sharded layout
+        return cls(
+            meta["k"],
+            z["identifiers"],
+            z["embeddings"],
+            method=method,
+            recall_target=meta.get("recall_target", 0.95),
+        )

@@ -46,16 +46,135 @@ from hm_retrieval_tpu.parallel.distributed_topk import (
     shard_candidates,
     shard_candidates_quantized,
 )
-from hm_retrieval_tpu.parallel.mesh import DATA_AXIS
+from hm_retrieval_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
 
 logger = logging.getLogger(__name__)
 
 Batch = Dict[str, jax.Array]
 
 
-from hm_retrieval_tpu.indices.builder import (  # noqa: E402
-    collect_catalog as _collect_batches,
+from hm_retrieval_tpu.indices.artifact import (  # noqa: E402
+    INDEX_FILE,
+    iter_shard_arrays,
+    shard_file,
+    shard_paths,
 )
+from hm_retrieval_tpu.indices.builder import (  # noqa: E402
+    collect_catalog_sharded,
+)
+
+
+def _shard_arrays_to_blocks(dirpath: str):
+    """Sharded-artifact files as ``(ids, embed_thunk)`` row blocks for
+    ``place_catalog_rows`` (fp32 reconstructed from int8 codes when the
+    artifact has no embeddings — requantization reproduces the codes
+    exactly)."""
+    for arrays in iter_shard_arrays(dirpath):
+        if "embeddings" in arrays:
+            emb = arrays["embeddings"]
+        else:
+            emb = arrays["codes"].astype(np.float32) * arrays[
+                "scales"
+            ][:, None]
+        yield arrays["identifiers"], (lambda e=emb: e)
+
+
+def _pull_model_shards(arr, per: int, wanted):
+    """Host copies of the model shards in ``wanted`` from a
+    P(model, ...)-sharded global array (first addressable data-axis
+    replica of each). One shard resident at a time on the caller side —
+    never the full array."""
+    out = {}
+    for sh in arr.addressable_shards:
+        idx = sh.index[0] if isinstance(sh.index, tuple) else sh.index
+        s = (idx.start or 0) // per
+        if s in wanted and s not in out:
+            out[s] = np.asarray(sh.data)
+    return out
+
+
+def _write_sharded_artifact(
+    dirpath: str,
+    mesh,
+    num_candidates: int,
+    arrays: Dict[str, jax.Array],  # save-key -> P(model,...) global
+    meta: dict,
+) -> None:
+    """Per-model-shard npz files, one shard resident on the host at a
+    time. Multi-host collective: each process writes exactly the shards
+    whose data-axis-0 replica it owns (disjoint writers, no races); the
+    coordinator writes meta.json. Concatenating the shard files yields
+    the single-file artifact's arrays exactly (indices/artifact.py)."""
+    os.makedirs(dirpath, exist_ok=True)
+    total = next(iter(arrays.values())).shape[0]
+    S = mesh.shape[MODEL_AXIS]
+    per = total // S
+    pi = jax.process_index()
+    writers = [
+        s
+        for s in range(S)
+        if mesh.devices[0, s].process_index == pi
+    ]
+    for s in writers:
+        lo = s * per
+        fill = max(0, min(per, num_candidates - lo))
+        np.savez(
+            shard_file(dirpath, s),
+            **{
+                key: _pull_model_shards(a, per, {s})[s][:fill]
+                for key, a in arrays.items()
+            },
+        )
+    if pi == 0:
+        meta = dict(
+            meta,
+            sharded_artifact=True,
+            num_shards=S,
+            num_candidates=int(num_candidates),
+        )
+        with open(os.path.join(dirpath, "meta.json"), "w") as f:
+            json.dump(meta, f)
+
+
+def _is_sharded_artifact(dirpath: str, meta: dict) -> bool:
+    if meta.get("sharded_artifact"):
+        return True
+    return not os.path.exists(
+        os.path.join(dirpath, INDEX_FILE)
+    ) and bool(shard_paths(dirpath))
+
+
+def _load_sharded_placed(
+    dirpath: str, meta: dict, mesh, quantize: bool, keep_fp32: bool
+):
+    """Stream a sharded artifact's files straight back into mesh
+    placement (O(N/S) host peak, mirror of the streaming build). The
+    on-disk shard count is independent of the current mesh's model-axis
+    size."""
+    from hm_retrieval_tpu.indices.builder import place_catalog_rows
+
+    n = meta.get("num_candidates")
+    if n is None:
+        n = sum(
+            len(a["identifiers"]) for a in iter_shard_arrays(dirpath)
+        )
+    first = next(iter_shard_arrays(dirpath))
+    dim = (
+        first["embeddings"]
+        if "embeddings" in first
+        else first["codes"]
+    ).shape[1]
+    return (
+        *place_catalog_rows(
+            _shard_arrays_to_blocks(dirpath),
+            n,
+            dim,
+            mesh,
+            quantize=quantize,
+            keep_fp32=keep_fp32,
+        ),
+        n,
+    )
 
 
 def _validate(k: int, identifiers: np.ndarray, embeddings: np.ndarray):
@@ -123,24 +242,28 @@ class DistributedBruteForceIndex(_DistributedIndexBase):
         "auto" (pallas on TPU when a feasible bin layout exists).
     """
 
-    def __init__(
+    collective_save = False  # sharded-built indices save collectively
+
+    def _configure(
         self,
         k: int,
-        identifiers: np.ndarray,
-        embeddings,
-        *,
+        num_candidates: int,
+        dim: int,
         mesh,
-        method: str = "auto",
-        compute_dtype=None,
-        interpret: bool = False,
+        method: str,
+        compute_dtype,
+        interpret: bool,
     ):
         if mesh is None:
             raise ValueError("DistributedBruteForceIndex needs a mesh")
-        identifiers = np.asarray(identifiers)
-        embeddings = np.asarray(embeddings, np.float32)
-        _validate(k, identifiers, embeddings)
         if method not in ("auto", "xla", "pallas"):
             raise ValueError(f"unknown method {method!r}")
+        if k <= 0:
+            raise ValueError("k must be positive")
+        if num_candidates < k:
+            raise ValueError(
+                f"k={k} exceeds number of candidates {num_candidates}"
+            )
         if method == "auto":
             if jax.default_backend() == "tpu":
                 from hm_retrieval_tpu.ops.pallas_retrieval import (
@@ -151,20 +274,15 @@ class DistributedBruteForceIndex(_DistributedIndexBase):
                 # +1: the kernel folds the pad-row bias in as an extra
                 # feature column (see make_distributed_topk)
                 feasible = pick_bins(
-                    DEFAULT_Q_BLOCK, embeddings.shape[1] + 1, k, 2
+                    DEFAULT_Q_BLOCK, dim + 1, k, 2
                 )
                 method = "pallas" if feasible is not None else "xla"
             else:
                 method = "xla"
         self.k = int(k)
-        self.num_candidates = len(identifiers)
+        self.num_candidates = int(num_candidates)
         self.mesh = mesh
         self.method = method
-        self._host_identifiers = identifiers.astype(np.int32)
-        self._host_embeddings = embeddings
-        self._emb, self._ids, self._bias = shard_candidates(
-            embeddings, self._host_identifiers, mesh
-        )
         self._fn = jax.jit(
             make_distributed_topk(
                 mesh,
@@ -183,6 +301,68 @@ class DistributedBruteForceIndex(_DistributedIndexBase):
             method,
         )
 
+    def __init__(
+        self,
+        k: int,
+        identifiers: np.ndarray,
+        embeddings,
+        *,
+        mesh,
+        method: str = "auto",
+        compute_dtype=None,
+        interpret: bool = False,
+    ):
+        identifiers = np.asarray(identifiers)
+        embeddings = np.asarray(embeddings, np.float32)
+        _validate(k, identifiers, embeddings)
+        self._configure(
+            k,
+            len(identifiers),
+            embeddings.shape[1],
+            mesh,
+            method,
+            compute_dtype,
+            interpret,
+        )
+        self._host_identifiers = identifiers.astype(np.int32)
+        self._host_embeddings = embeddings
+        self._emb, self._ids, self._bias = shard_candidates(
+            embeddings, self._host_identifiers, mesh
+        )
+
+    @classmethod
+    def _from_placed(
+        cls,
+        k: int,
+        num_candidates: int,
+        ids_host: np.ndarray,  # (total,) padded
+        placed: Dict[str, jax.Array],
+        *,
+        mesh,
+        method: str = "auto",
+        compute_dtype=None,
+        interpret: bool = False,
+    ) -> "DistributedBruteForceIndex":
+        self = cls.__new__(cls)
+        self._configure(
+            k,
+            num_candidates,
+            placed["emb"].shape[1],
+            mesh,
+            method,
+            compute_dtype,
+            interpret,
+        )
+        self._host_identifiers = np.asarray(
+            ids_host[:num_candidates], np.int32
+        )
+        self._host_embeddings = None  # streamed build: no host catalog
+        self.collective_save = True
+        self._emb = placed["emb"]
+        self._ids = placed["ids"]
+        self._bias = placed["bias"]
+        return self
+
     @classmethod
     def build_from_batches(
         cls,
@@ -191,18 +371,60 @@ class DistributedBruteForceIndex(_DistributedIndexBase):
         embed_fn: Callable[[Batch], jax.Array],
         batches: Iterable[Batch],
         batch_size: int,
+        *,
+        mesh,
+        num_candidates: int = None,
+        dim: int = None,
+        build_stats: dict = None,
         **kwargs,
     ) -> "DistributedBruteForceIndex":
-        ids, emb = _collect_batches(
-            candidate_id_col, embed_fn, batches, batch_size
+        """Streaming sharded build: rows go batch -> shard buffer ->
+        device shard, peak host memory O(N*E/S) and each process embeds
+        only blocks overlapping its own shards (indices/builder.py,
+        the sharded analog of ref: brute_force.py:31-52). Pass
+        ``num_candidates`` (e.g. the dataset manifest's row count) to
+        stream without materializing the feature batches first."""
+        ids_host, placed, n = collect_catalog_sharded(
+            candidate_id_col,
+            embed_fn,
+            batches,
+            batch_size,
+            mesh,
+            num_candidates=num_candidates,
+            dim=dim,
+            quantize=False,
+            stats=build_stats,
         )
-        return cls(k, ids, emb, **kwargs)
+        return cls._from_placed(
+            k, n, ids_host, placed, mesh=mesh, **kwargs
+        )
 
     def topk_from_embeddings(self, query_embeddings: jax.Array):
         """(B, E) query embeddings -> ((B, k) scores, (B, k) int ids)."""
         q, b = self._pad_queries(query_embeddings)
         scores, ids = self._fn(q, self._emb, self._ids, self._bias)
         return scores[:b], ids[:b]
+
+    def _host_catalog(self) -> np.ndarray:
+        """Full fp32 catalog on the host (assembled shard-by-shard for
+        streamed builds; single-process only — O(N*E) host memory is
+        inherent to producing a replicated local copy)."""
+        if self._host_embeddings is not None:
+            return self._host_embeddings
+        if jax.process_count() > 1:
+            raise RuntimeError(
+                "full-catalog host assembly of a streamed sharded "
+                "build needs every shard addressable (single process)"
+            )
+        total = self._emb.shape[0]
+        S = self.mesh.shape[MODEL_AXIS]
+        per = total // S
+        return np.concatenate(
+            [
+                _pull_model_shards(self._emb, per, {s})[s]
+                for s in range(S)
+            ]
+        )[: self.num_candidates]
 
     def to_local(self, method: str = "auto"):
         """Single-device BruteForceIndex over the same catalog (for
@@ -212,13 +434,36 @@ class DistributedBruteForceIndex(_DistributedIndexBase):
         return BruteForceIndex(
             self.k,
             self._host_identifiers,
-            self._host_embeddings,
+            self._host_catalog(),
             method=method,
         )
 
     def save(self, dirpath: str) -> None:
-        """Single-device-compatible artifact (loadable by ``load_index``
-        anywhere) + a ``distributed`` marker."""
+        """Artifact loadable by ``load_index`` anywhere + a
+        ``distributed`` marker. Host-built indices write the single-file
+        layout; streamed sharded builds write per-shard files (each
+        process its own shards — call on EVERY process)."""
+        meta = {
+            "k": self.k,
+            "type": "brute_force",
+            "method": "auto",
+            "recall_target": 0.95,
+            "distributed": True,
+            "distributed_method": self.method,
+        }
+        if self._host_embeddings is None:
+            _write_sharded_artifact(
+                dirpath,
+                self.mesh,
+                self.num_candidates,
+                {"identifiers": self._ids, "embeddings": self._emb},
+                meta,
+            )
+            logger.info(
+                "Saved distributed brute-force index (sharded) to %s",
+                dirpath,
+            )
+            return
         os.makedirs(dirpath, exist_ok=True)
         np.savez(
             os.path.join(dirpath, "index.npz"),
@@ -226,17 +471,7 @@ class DistributedBruteForceIndex(_DistributedIndexBase):
             embeddings=self._host_embeddings,
         )
         with open(os.path.join(dirpath, "meta.json"), "w") as f:
-            json.dump(
-                {
-                    "k": self.k,
-                    "type": "brute_force",
-                    "method": "auto",
-                    "recall_target": 0.95,
-                    "distributed": True,
-                    "distributed_method": self.method,
-                },
-                f,
-            )
+            json.dump(meta, f)
         logger.info(
             "Saved distributed brute-force index to %s", dirpath
         )
@@ -247,15 +482,29 @@ class DistributedBruteForceIndex(_DistributedIndexBase):
     ) -> "DistributedBruteForceIndex":
         with open(os.path.join(dirpath, "meta.json")) as f:
             meta = json.load(f)
+        method = kwargs.pop(
+            "method", meta.get("distributed_method", "auto")
+        )
+        if _is_sharded_artifact(dirpath, meta):
+            ids_host, placed, n = _load_sharded_placed(
+                dirpath, meta, mesh, quantize=False, keep_fp32=True
+            )
+            return cls._from_placed(
+                meta["k"],
+                n,
+                ids_host,
+                placed,
+                mesh=mesh,
+                method=method,
+                **kwargs,
+            )
         with np.load(os.path.join(dirpath, "index.npz")) as z:
             return cls(
                 meta["k"],
                 z["identifiers"],
                 z["embeddings"],
                 mesh=mesh,
-                method=kwargs.pop(
-                    "method", meta.get("distributed_method", "auto")
-                ),
+                method=method,
                 **kwargs,
             )
 
@@ -272,6 +521,72 @@ class DistributedQuantizedIndex(_DistributedIndexBase):
     for the slice.
     """
 
+    collective_save = False  # sharded-built indices save collectively
+
+    def _configure(
+        self,
+        k: int,
+        num_candidates: int,
+        mesh,
+        oversample: int,
+        rescore: bool,
+        recall_target: float,
+        method: str,
+        pallas_rounds: int,
+        pallas_fold,
+        interpret: bool,
+    ):
+        if mesh is None:
+            raise ValueError("DistributedQuantizedIndex needs a mesh")
+        if oversample < 1:
+            raise ValueError("oversample must be >= 1")
+        if not 0.0 < recall_target <= 1.0:
+            raise ValueError("recall_target must be in (0, 1]")
+        if method not in ("auto", "scan", "pallas"):
+            raise ValueError(f"unknown method {method!r}")
+        if k <= 0:
+            raise ValueError("k must be positive")
+        if num_candidates < k:
+            raise ValueError(
+                f"k={k} exceeds number of candidates {num_candidates}"
+            )
+        if method == "auto":
+            method = (
+                "pallas" if jax.default_backend() == "tpu" else "scan"
+            )
+        self.k = int(k)
+        self.num_candidates = int(num_candidates)
+        self.mesh = mesh
+        self.method = method
+        self.oversample = int(oversample)
+        self.rescore = bool(rescore)
+        self.recall_target = float(recall_target)
+        self.pallas_rounds = int(pallas_rounds)
+        self.pallas_fold = (
+            None if pallas_fold is None else int(pallas_fold)
+        )
+        self._fn = jax.jit(
+            make_distributed_quantized_topk(
+                mesh,
+                self.k,
+                oversample=self.oversample,
+                recall_target=self.recall_target,
+                method=method,
+                interpret=interpret,
+                pallas_rounds=self.pallas_rounds,
+                pallas_fold=self.pallas_fold,
+                data_sharded_queries=True,
+            )
+        )
+        logger.info(
+            "Distributed quantized index: %d candidates over mesh %s "
+            "(method=%s, rescore=%s)",
+            self.num_candidates,
+            dict(mesh.shape),
+            method,
+            self.rescore,
+        )
+
     def __init__(
         self,
         k: int,
@@ -287,58 +602,73 @@ class DistributedQuantizedIndex(_DistributedIndexBase):
         pallas_fold: int = None,
         interpret: bool = False,
     ):
-        if mesh is None:
-            raise ValueError("DistributedQuantizedIndex needs a mesh")
-        if oversample < 1:
-            raise ValueError("oversample must be >= 1")
-        if not 0.0 < recall_target <= 1.0:
-            raise ValueError("recall_target must be in (0, 1]")
-        if method not in ("auto", "scan", "pallas"):
-            raise ValueError(f"unknown method {method!r}")
         identifiers = np.asarray(identifiers)
         embeddings = np.asarray(embeddings, np.float32)
         _validate(k, identifiers, embeddings)
-        if method == "auto":
-            method = (
-                "pallas" if jax.default_backend() == "tpu" else "scan"
-            )
-        self.k = int(k)
-        self.num_candidates = len(identifiers)
-        self.mesh = mesh
-        self.method = method
-        self.oversample = int(oversample)
-        self.rescore = bool(rescore)
-        self.recall_target = float(recall_target)
-        self.pallas_rounds = int(pallas_rounds)
-        self.pallas_fold = (
-            None if pallas_fold is None else int(pallas_fold)
+        self._configure(
+            k,
+            len(identifiers),
+            mesh,
+            oversample,
+            rescore,
+            recall_target,
+            method,
+            pallas_rounds,
+            pallas_fold,
+            interpret,
         )
         self._host_identifiers = identifiers.astype(np.int32)
         self._host_embeddings = embeddings
         self._placed = shard_candidates_quantized(
-            embeddings, self._host_identifiers, mesh, keep_fp32=rescore
+            embeddings,
+            self._host_identifiers,
+            mesh,
+            keep_fp32=self.rescore,
         )
-        self._fn = jax.jit(
-            make_distributed_quantized_topk(
-                mesh,
-                self.k,
-                oversample=oversample,
-                recall_target=recall_target,
-                method=method,
-                interpret=interpret,
-                pallas_rounds=pallas_rounds,
-                pallas_fold=pallas_fold,
-                data_sharded_queries=True,
-            )
-        )
-        logger.info(
-            "Distributed quantized index: %d candidates over mesh %s "
-            "(method=%s, rescore=%s)",
-            self.num_candidates,
-            dict(mesh.shape),
-            method,
+
+    @classmethod
+    def _from_placed(
+        cls,
+        k: int,
+        num_candidates: int,
+        ids_host: np.ndarray,  # (total,) padded
+        placed: Dict[str, jax.Array],
+        *,
+        mesh,
+        oversample: int = 4,
+        rescore: bool = True,
+        recall_target: float = 0.95,
+        method: str = "auto",
+        pallas_rounds: int = 1,
+        pallas_fold: int = None,
+        interpret: bool = False,
+    ) -> "DistributedQuantizedIndex":
+        self = cls.__new__(cls)
+        self._configure(
+            k,
+            num_candidates,
+            mesh,
+            oversample,
             rescore,
+            recall_target,
+            method,
+            pallas_rounds,
+            pallas_fold,
+            interpret,
         )
+        self._host_identifiers = np.asarray(
+            ids_host[:num_candidates], np.int32
+        )
+        self._host_embeddings = None  # streamed build: no host catalog
+        self.collective_save = True
+        self._placed = (
+            placed["codes"],
+            placed["scales"],
+            placed.get("emb"),
+            placed["ids"],
+            placed["bias"],
+        )
+        return self
 
     @classmethod
     def build_from_batches(
@@ -348,18 +678,68 @@ class DistributedQuantizedIndex(_DistributedIndexBase):
         embed_fn: Callable[[Batch], jax.Array],
         batches: Iterable[Batch],
         batch_size: int,
+        *,
+        mesh,
+        num_candidates: int = None,
+        dim: int = None,
+        build_stats: dict = None,
         **kwargs,
     ) -> "DistributedQuantizedIndex":
-        ids, emb = _collect_batches(
-            candidate_id_col, embed_fn, batches, batch_size
+        """Streaming sharded build (indices/builder.py): rows go
+        batch -> shard buffer -> int8 codes (+ fp32 only when
+        ``rescore``) -> device shard; peak host memory O(N*E/S) and
+        each process embeds only blocks overlapping its own shards.
+        With ``rescore=False`` no fp32 copy of the catalog ever exists
+        anywhere — the layout that serves catalogs 4x too big for the
+        slice now also BUILDS within it. Pass ``num_candidates`` (the
+        dataset manifest's row count) to stream without materializing
+        the feature batches first."""
+        ids_host, placed, n = collect_catalog_sharded(
+            candidate_id_col,
+            embed_fn,
+            batches,
+            batch_size,
+            mesh,
+            num_candidates=num_candidates,
+            dim=dim,
+            quantize=True,
+            keep_fp32=kwargs.get("rescore", True),
+            stats=build_stats,
         )
-        return cls(k, ids, emb, **kwargs)
+        return cls._from_placed(
+            k, n, ids_host, placed, mesh=mesh, **kwargs
+        )
 
     def topk_from_embeddings(self, query_embeddings: jax.Array):
         """(B, E) query embeddings -> ((B, k) scores, (B, k) int ids)."""
         q, b = self._pad_queries(query_embeddings)
         scores, ids = self._fn(q, *self._placed)
         return scores[:b], ids[:b]
+
+    def _host_catalog(self) -> np.ndarray:
+        """Full fp32 catalog on the host (assembled shard-by-shard for
+        streamed builds; dequantized from the int8 shards when no fp32
+        copy exists; single-process only)."""
+        if self._host_embeddings is not None:
+            return self._host_embeddings
+        if jax.process_count() > 1:
+            raise RuntimeError(
+                "full-catalog host assembly of a streamed sharded "
+                "build needs every shard addressable (single process)"
+            )
+        codes, scales, emb, _, _ = self._placed
+        total = codes.shape[0]
+        S = self.mesh.shape[MODEL_AXIS]
+        per = total // S
+        parts = []
+        for s in range(S):
+            if emb is not None:
+                parts.append(_pull_model_shards(emb, per, {s})[s])
+            else:
+                c = _pull_model_shards(codes, per, {s})[s]
+                sc = _pull_model_shards(scales, per, {s})[s]
+                parts.append(c.astype(np.float32) * sc[:, None])
+        return np.concatenate(parts)[: self.num_candidates]
 
     def to_local(self, **kwargs):
         """Single-device QuantizedIndex over the same catalog."""
@@ -371,15 +751,53 @@ class DistributedQuantizedIndex(_DistributedIndexBase):
         return QuantizedIndex(
             self.k,
             self._host_identifiers,
-            self._host_embeddings,
+            self._host_catalog(),
             **kwargs,
         )
+
+    def _meta(self) -> dict:
+        return {
+            "k": self.k,
+            "type": "quantized",
+            "oversample": self.oversample,
+            "rescore": self.rescore,
+            "chunk": 65536,
+            "recall_target": self.recall_target,
+            "method": "auto",
+            "pallas_rounds": self.pallas_rounds,
+            "pallas_fold": self.pallas_fold,
+            "distributed": True,
+            "distributed_method": self.method,
+        }
 
     def save(self, dirpath: str) -> None:
         """QuantizedIndex-compatible artifact + ``distributed`` marker.
         With ``rescore=False`` the fp32 table is NOT stored; load
         reconstructs embeddings as codes*scales (requantization of which
-        reproduces the codes exactly)."""
+        reproduces the codes exactly). Host-built indices write the
+        single-file layout; streamed sharded builds write per-shard
+        files (each process its own shards — call on EVERY process)."""
+        if self._host_embeddings is None:
+            codes, scales, emb, ids, _ = self._placed
+            arrays = {
+                "identifiers": ids,
+                "codes": codes,
+                "scales": scales,
+            }
+            if emb is not None:
+                arrays["embeddings"] = emb
+            _write_sharded_artifact(
+                dirpath,
+                self.mesh,
+                self.num_candidates,
+                arrays,
+                self._meta(),
+            )
+            logger.info(
+                "Saved distributed quantized index (sharded) to %s",
+                dirpath,
+            )
+            return
         from hm_retrieval_tpu.indices.quantized import quantize_rows
 
         os.makedirs(dirpath, exist_ok=True)
@@ -393,22 +811,7 @@ class DistributedQuantizedIndex(_DistributedIndexBase):
             arrays["embeddings"] = self._host_embeddings
         np.savez(os.path.join(dirpath, "index.npz"), **arrays)
         with open(os.path.join(dirpath, "meta.json"), "w") as f:
-            json.dump(
-                {
-                    "k": self.k,
-                    "type": "quantized",
-                    "oversample": self.oversample,
-                    "rescore": self.rescore,
-                    "chunk": 65536,
-                    "recall_target": self.recall_target,
-                    "method": "auto",
-                    "pallas_rounds": self.pallas_rounds,
-                    "pallas_fold": self.pallas_fold,
-                    "distributed": True,
-                    "distributed_method": self.method,
-                },
-                f,
-            )
+            json.dump(self._meta(), f)
         logger.info("Saved distributed quantized index to %s", dirpath)
 
     @classmethod
@@ -417,6 +820,31 @@ class DistributedQuantizedIndex(_DistributedIndexBase):
     ) -> "DistributedQuantizedIndex":
         with open(os.path.join(dirpath, "meta.json")) as f:
             meta = json.load(f)
+        if _is_sharded_artifact(dirpath, meta):
+            kwargs.setdefault("oversample", meta.get("oversample", 4))
+            kwargs.setdefault("rescore", meta.get("rescore", True))
+            kwargs.setdefault(
+                "recall_target", meta.get("recall_target", 0.95)
+            )
+            kwargs.setdefault(
+                "pallas_rounds", meta.get("pallas_rounds", 1)
+            )
+            kwargs.setdefault(
+                "pallas_fold", meta.get("pallas_fold")
+            )
+            kwargs.setdefault(
+                "method", meta.get("distributed_method", "auto")
+            )
+            ids_host, placed, n = _load_sharded_placed(
+                dirpath,
+                meta,
+                mesh,
+                quantize=True,
+                keep_fp32=kwargs["rescore"],
+            )
+            return cls._from_placed(
+                meta["k"], n, ids_host, placed, mesh=mesh, **kwargs
+            )
         with np.load(os.path.join(dirpath, "index.npz")) as z:
             if "embeddings" in z:
                 emb = z["embeddings"]

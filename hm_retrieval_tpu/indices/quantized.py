@@ -494,71 +494,75 @@ class QuantizedIndex:
                 jax.default_backend(),
             )
             method = "scan"
-        with np.load(os.path.join(dirpath, "index.npz")) as z:
-            rescore = meta.get("rescore", True)
-            if rescore and "embeddings" in z:
-                idx = cls(
-                    meta["k"],
-                    z["identifiers"],
-                    z["embeddings"],
-                    oversample=meta.get("oversample", 4),
-                    rescore=True,
-                    chunk=meta.get("chunk", 65536),
-                    recall_target=meta.get("recall_target", 0.95),
-                    method=method,
-                    pallas_rounds=meta.get("pallas_rounds", 1),
-                    pallas_fold=meta.get("pallas_fold"),
-                )
-                # Preserve the exact saved codes (round-trip identity
-                # regardless of requantization drift).
-                n = idx.num_candidates
-                idx.codes = idx.codes.at[:n].set(
-                    jnp.asarray(z["codes"])
-                )
-                idx.scales = idx.scales.at[:n].set(
-                    jnp.asarray(z["scales"])
-                )
-                return idx
-            # No fp32 table stored: reconstruct from codes alone.
-            idx = cls.__new__(cls)
-            idx.k = meta["k"]
-            idx.oversample = meta.get("oversample", 4)
-            idx.rescore = False
-            idx.recall_target = meta.get("recall_target", 0.95)
-            idx.pallas_rounds = meta.get("pallas_rounds", 1)
-            idx.pallas_fold = meta.get("pallas_fold")
-            codes = z["codes"]
-            scales = z["scales"]
-            identifiers = z["identifiers"]
-            idx.num_candidates = len(identifiers)
-            n_pad = _pad_to_multiple(
-                idx.num_candidates, cls.PAD_MULTIPLE
+        from hm_retrieval_tpu.indices.artifact import (
+            load_index_arrays,
+        )
+
+        z = load_index_arrays(dirpath)  # single-file OR sharded layout
+        rescore = meta.get("rescore", True)
+        if rescore and "embeddings" in z:
+            idx = cls(
+                meta["k"],
+                z["identifiers"],
+                z["embeddings"],
+                oversample=meta.get("oversample", 4),
+                rescore=True,
+                chunk=meta.get("chunk", 65536),
+                recall_target=meta.get("recall_target", 0.95),
+                method=method,
+                pallas_rounds=meta.get("pallas_rounds", 1),
+                pallas_fold=meta.get("pallas_fold"),
             )
-            idx.chunk = int(
-                min(meta.get("chunk", 65536), n_pad)
+            # Preserve the exact saved codes (round-trip identity
+            # regardless of requantization drift).
+            n = idx.num_candidates
+            idx.codes = idx.codes.at[:n].set(
+                jnp.asarray(z["codes"])
             )
-            n_pad = _pad_to_multiple(
-                idx.num_candidates, idx.chunk
+            idx.scales = idx.scales.at[:n].set(
+                jnp.asarray(z["scales"])
             )
-            idx.k_over = int(
-                min(max(idx.oversample * idx.k, idx.k), idx.chunk)
-            )
-            idx.method = _resolve_method(
-                method, idx.k, codes.shape[1]
-            )
-            codes_p = np.zeros(
-                (n_pad, codes.shape[1]), np.int8
-            )
-            codes_p[: idx.num_candidates] = codes
-            scales_p = np.zeros((n_pad,), np.float32)
-            scales_p[: idx.num_candidates] = scales
-            bias = np.zeros((n_pad,), np.float32)
-            bias[idx.num_candidates:] = -np.inf
-            ids = np.zeros((n_pad,), identifiers.dtype)
-            ids[: idx.num_candidates] = identifiers
-            idx.codes = jnp.asarray(codes_p)
-            idx.scales = jnp.asarray(scales_p)
-            idx._score_bias = jnp.asarray(bias)
-            idx.identifiers = jnp.asarray(ids)
-            idx.embeddings = None
             return idx
+        # No fp32 table stored: reconstruct from codes alone.
+        idx = cls.__new__(cls)
+        idx.k = meta["k"]
+        idx.oversample = meta.get("oversample", 4)
+        idx.rescore = False
+        idx.recall_target = meta.get("recall_target", 0.95)
+        idx.pallas_rounds = meta.get("pallas_rounds", 1)
+        idx.pallas_fold = meta.get("pallas_fold")
+        codes = z["codes"]
+        scales = z["scales"]
+        identifiers = z["identifiers"]
+        idx.num_candidates = len(identifiers)
+        n_pad = _pad_to_multiple(
+            idx.num_candidates, cls.PAD_MULTIPLE
+        )
+        idx.chunk = int(
+            min(meta.get("chunk", 65536), n_pad)
+        )
+        n_pad = _pad_to_multiple(
+            idx.num_candidates, idx.chunk
+        )
+        idx.k_over = int(
+            min(max(idx.oversample * idx.k, idx.k), idx.chunk)
+        )
+        idx.method = _resolve_method(
+            method, idx.k, codes.shape[1]
+        )
+        codes_p = np.zeros(
+            (n_pad, codes.shape[1]), np.int8
+        )
+        codes_p[: idx.num_candidates] = codes
+        scales_p = np.zeros((n_pad,), np.float32)
+        scales_p[: idx.num_candidates] = scales
+        bias = np.zeros((n_pad,), np.float32)
+        bias[idx.num_candidates:] = -np.inf
+        ids = np.zeros((n_pad,), identifiers.dtype)
+        ids[: idx.num_candidates] = identifiers
+        idx.codes = jnp.asarray(codes_p)
+        idx.scales = jnp.asarray(scales_p)
+        idx._score_bias = jnp.asarray(bias)
+        idx.identifiers = jnp.asarray(ids)
+        idx.embeddings = None
+        return idx

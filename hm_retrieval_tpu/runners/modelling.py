@@ -136,7 +136,13 @@ def build_index(
         from hm_retrieval_tpu.indices import DISTRIBUTED_INDEX_TYPES
 
         index_cls = DISTRIBUTED_INDEX_TYPES[index_type]
-        extra = {"mesh": mesh}
+        # manifest row count + tower width let the streaming sharded
+        # builder run without materializing anything catalog-sized
+        extra = {
+            "mesh": mesh,
+            "num_candidates": candidate_ds.num_rows,
+            "dim": model.joint_embedding_size,
+        }
     else:
         from hm_retrieval_tpu.indices import INDEX_TYPES
 
@@ -356,7 +362,9 @@ def evaluation_runner(
         epoch=None,
         mesh=mesh,
     )
-    if _is_coordinator():
+    if getattr(index, "collective_save", False) or _is_coordinator():
+        # sharded-built indices save collectively: every process writes
+        # its own disjoint shard files (indices/distributed.py)
         index.save(settings.index_dirpath)
     return res
 
@@ -667,7 +675,7 @@ def modelling_runner(
             writer=writer,
             mesh=mesh,
         )
-        if _is_coordinator():
+        if getattr(index, "collective_save", False) or _is_coordinator():
             index.save(settings.index_dirpath)
         if settings.savedmodel_dirpath and _is_coordinator():
             from hm_retrieval_tpu.serving.savedmodel_export import (

@@ -222,3 +222,257 @@ class TestDistributedQuantized:
         np.testing.assert_array_equal(
             np.asarray(i1), np.asarray(i2)
         )
+
+
+def _batches_of(ids, batch_size):
+    for s in range(0, len(ids), batch_size):
+        yield {"article_id": ids[s : s + batch_size]}
+
+
+def _embed_fn_for(ids_all, emb):
+    """Positional lookup 'tower': ids are 1..N, row i embeds to
+    emb[i-1]; pad rows (id 0) embed to garbage that must never leak
+    (the builder trims them before placement)."""
+    table = np.concatenate(
+        [np.full((1, emb.shape[1]), 999.0, np.float32), emb]
+    )
+
+    def embed(batch):
+        return table[np.asarray(batch["article_id"])]
+
+    return embed
+
+
+class TestShardedStreamingBuild:
+    """indices/builder.py::collect_catalog_sharded — the O(N*E/S)
+    streaming build the replicated collect_catalog cannot provide."""
+
+    def test_quantized_matches_host_build(self, catalog):
+        ids, emb, q = catalog
+        k = 10
+        mesh = make_mesh(data=2, model=4)
+        host = DistributedQuantizedIndex(
+            k, ids, emb, mesh=mesh, method="scan"
+        )
+        stats = {}
+        built = DistributedQuantizedIndex.build_from_batches(
+            k,
+            "article_id",
+            _embed_fn_for(ids, emb),
+            _batches_of(ids, 128),
+            128,
+            mesh=mesh,
+            num_candidates=len(ids),
+            dim=emb.shape[1],
+            build_stats=stats,
+            method="scan",
+        )
+        s_h, i_h = host.topk_from_embeddings(jnp.asarray(q))
+        s_b, i_b = built.topk_from_embeddings(jnp.asarray(q))
+        np.testing.assert_array_equal(np.asarray(i_b), np.asarray(i_h))
+        np.testing.assert_allclose(
+            np.asarray(s_b), np.asarray(s_h), rtol=1e-6
+        )
+        # identical device placement too
+        np.testing.assert_array_equal(
+            np.asarray(built._placed[0]), np.asarray(host._placed[0])
+        )
+        assert stats["embedded_blocks"] == -(-len(ids) // 128)
+
+    def test_brute_force_matches_host_build(self, catalog):
+        ids, emb, q = catalog
+        k = 10
+        mesh = make_mesh(data=1, model=8)
+        host = DistributedBruteForceIndex(
+            k, ids, emb, mesh=mesh, method="xla"
+        )
+        built = DistributedBruteForceIndex.build_from_batches(
+            k,
+            "article_id",
+            _embed_fn_for(ids, emb),
+            _batches_of(ids, 256),
+            256,
+            mesh=mesh,
+            num_candidates=len(ids),
+            dim=emb.shape[1],
+            method="xla",
+        )
+        s_h, i_h = host.topk_from_embeddings(jnp.asarray(q))
+        s_b, i_b = built.topk_from_embeddings(jnp.asarray(q))
+        np.testing.assert_array_equal(np.asarray(i_b), np.asarray(i_h))
+        np.testing.assert_allclose(
+            np.asarray(s_b), np.asarray(s_h), rtol=1e-6
+        )
+
+    def test_peak_host_memory_is_per_shard(self, catalog):
+        """The build must never hold the (N, E) fp32 catalog on the
+        host: peak accounted bytes stay well under the full catalog
+        and scale with ceil(N/S) * E."""
+        ids, emb, _ = catalog
+        mesh = make_mesh(data=1, model=8)
+        stats = {}
+        DistributedQuantizedIndex.build_from_batches(
+            10,
+            "article_id",
+            _embed_fn_for(ids, emb),
+            _batches_of(ids, 128),
+            128,
+            mesh=mesh,
+            num_candidates=len(ids),
+            dim=emb.shape[1],
+            build_stats=stats,
+            method="scan",
+        )
+        per = stats["rows_per_shard"]
+        assert per == -(-len(ids) // 8)
+        full_catalog = emb.nbytes
+        # shard buffer + its finalize-time copies + the small id/bias
+        # vectors; nowhere near the full fp32 catalog
+        assert stats["peak_host_bytes"] < full_catalog // 2
+        assert stats["peak_host_bytes"] < 8 * per * emb.shape[1] * 4
+
+    def test_counts_rows_when_num_candidates_absent(self, catalog):
+        ids, emb, q = catalog
+        mesh = make_mesh(data=2, model=4)
+        built = DistributedQuantizedIndex.build_from_batches(
+            10,
+            "article_id",
+            _embed_fn_for(ids, emb),
+            _batches_of(ids, 128),
+            128,
+            mesh=mesh,
+            method="scan",
+        )
+        assert built.num_candidates == len(ids)
+
+    def test_sharded_save_and_loads(self, catalog, tmp_path):
+        """Streamed builds persist per-shard files; both the
+        distributed loader (streamed back into placement) and the
+        single-device loader (concatenated) reproduce the results."""
+        import os
+
+        ids, emb, q = catalog
+        k = 10
+        mesh = make_mesh(data=2, model=4)
+        built = DistributedQuantizedIndex.build_from_batches(
+            k,
+            "article_id",
+            _embed_fn_for(ids, emb),
+            _batches_of(ids, 128),
+            128,
+            mesh=mesh,
+            num_candidates=len(ids),
+            dim=emb.shape[1],
+            method="scan",
+        )
+        assert built.collective_save
+        d = str(tmp_path / "sharded")
+        built.save(d)
+        assert not os.path.exists(f"{d}/index.npz")
+        shard_files = sorted(
+            f for f in os.listdir(d) if f.startswith("index_shard_")
+        )
+        assert len(shard_files) == 4  # one per model shard
+        _, i_ref = built.topk_from_embeddings(jnp.asarray(q))
+
+        dist2 = load_distributed_index(d, mesh, method="scan")
+        _, i2 = dist2.topk_from_embeddings(jnp.asarray(q))
+        np.testing.assert_array_equal(np.asarray(i2), np.asarray(i_ref))
+
+        local = load_index(d)
+        assert isinstance(local, QuantizedIndex)
+        assert local.num_candidates == len(ids)
+        _, i_l = local.topk_from_embeddings(jnp.asarray(q))
+        overlap = np.mean(
+            [
+                len(set(a) & set(b)) / k
+                for a, b in zip(np.asarray(i_ref), np.asarray(i_l))
+            ]
+        )
+        assert overlap >= 0.99
+
+    def test_sharded_save_brute_force_roundtrip(
+        self, catalog, tmp_path
+    ):
+        import os
+
+        ids, emb, q = catalog
+        k = 10
+        mesh = make_mesh(data=1, model=8)
+        built = DistributedBruteForceIndex.build_from_batches(
+            k,
+            "article_id",
+            _embed_fn_for(ids, emb),
+            _batches_of(ids, 256),
+            256,
+            mesh=mesh,
+            num_candidates=len(ids),
+            dim=emb.shape[1],
+            method="xla",
+        )
+        d = str(tmp_path / "bf_sharded")
+        built.save(d)
+        assert not os.path.exists(f"{d}/index.npz")
+        _, i_ref = built.topk_from_embeddings(jnp.asarray(q))
+        # different mesh layout on reload: artifact is mesh-independent
+        mesh2 = make_mesh(data=4, model=2)
+        dist2 = load_distributed_index(d, mesh2, method="xla")
+        _, i2 = dist2.topk_from_embeddings(jnp.asarray(q))
+        np.testing.assert_array_equal(np.asarray(i2), np.asarray(i_ref))
+        local = load_index(d)
+        assert isinstance(local, BruteForceIndex)
+        _, i_l = local.topk_from_embeddings(jnp.asarray(q))
+        np.testing.assert_array_equal(
+            np.asarray(i_l), np.asarray(i_ref)
+        )
+
+    def test_rescore_false_never_materializes_fp32(
+        self, catalog, tmp_path
+    ):
+        import os
+
+        ids, emb, q = catalog
+        mesh = make_mesh(data=1, model=8)
+        built = DistributedQuantizedIndex.build_from_batches(
+            10,
+            "article_id",
+            _embed_fn_for(ids, emb),
+            _batches_of(ids, 128),
+            128,
+            mesh=mesh,
+            num_candidates=len(ids),
+            dim=emb.shape[1],
+            rescore=False,
+            method="scan",
+        )
+        assert built._placed[2] is None  # no fp32 shards on device
+        d = str(tmp_path / "nofp32")
+        built.save(d)
+        for f in os.listdir(d):
+            if f.startswith("index_shard_"):
+                with np.load(os.path.join(d, f)) as z:
+                    assert "embeddings" not in z.files
+        dist2 = load_distributed_index(d, mesh, method="scan")
+        _, i1 = built.topk_from_embeddings(jnp.asarray(q))
+        _, i2 = dist2.topk_from_embeddings(jnp.asarray(q))
+        np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+
+    def test_to_local_of_streamed_build(self, catalog):
+        ids, emb, q = catalog
+        mesh = make_mesh(data=2, model=4)
+        built = DistributedQuantizedIndex.build_from_batches(
+            10,
+            "article_id",
+            _embed_fn_for(ids, emb),
+            _batches_of(ids, 128),
+            128,
+            mesh=mesh,
+            num_candidates=len(ids),
+            dim=emb.shape[1],
+            method="scan",
+        )
+        local = built.to_local(method="scan")
+        host = QuantizedIndex(10, ids, emb, method="scan")
+        _, i_l = local.topk_from_embeddings(jnp.asarray(q))
+        _, i_h = host.topk_from_embeddings(jnp.asarray(q))
+        np.testing.assert_array_equal(np.asarray(i_l), np.asarray(i_h))
