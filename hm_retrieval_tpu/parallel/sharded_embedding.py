@@ -18,10 +18,17 @@ Two exchange strategies, both differentiable under shard_map AD:
   psum'd over the model axis. Communication: one (B, E) psum — optimal
   when B*E is small relative to bucketed all-to-all bookkeeping, which is
   exactly the two-tower regime (B≈4k, E≈128 -> 2MB).
-- ``lookup_all_to_all``: ids are bucketed by owning shard with a static
-  per-shard capacity, exchanged via ``all_to_all``, gathered locally, and
-  sent back. Communication: 2 * (S * cap * E / S) — wins when S is large
-  and B*E is big; the DLRM-style pattern (PAPERS.md sharding papers).
+- ``lookup_all_to_all``: ids are DEDUPLICATED (``jnp.unique`` + inverse
+  map — a Zipf-hot id occupies one exchange slot regardless of its batch
+  multiplicity, SURVEY §7 hard part #4), bucketed by owning shard with a
+  static per-shard capacity, exchanged via ``all_to_all``, gathered
+  locally, and sent back; duplicates are re-expanded locally from the
+  unique results. Communication: 2 * (S * cap * E / S) with
+  cap = min(B, R) by default (a shard cannot own more than its R rows'
+  worth of distinct ids) — the DLRM-style pattern (PAPERS.md sharding
+  papers). ``capacity`` tightens cap further when the id distribution is
+  known to be skewed; overflow poisons the output with NaN (loud, never
+  silently wrong).
 """
 
 from __future__ import annotations
@@ -55,15 +62,27 @@ def shard_table(table: np.ndarray, mesh) -> jax.Array:
     )
 
 
-def make_sharded_lookup(mesh, strategy: str = "psum"):
+def make_sharded_lookup(
+    mesh, strategy: str = "psum", capacity: int = None
+):
     """Returns lookup(table, ids) -> (B, E) embeddings.
 
     ``table``: (S*R, E) row-sharded P("model", None).
     ``ids``:   (B,) int32, replicated over the model axis (each data shard
                looks up its own batch; the model axis cooperates).
+    ``capacity``: per-destination-shard slot count for the
+               ``all_to_all`` exchange, AFTER deduplication — sets the
+               comm volume to O(S * capacity * E). Default
+               min(B, rows_per_shard), which is always exact. Lower
+               values exploit known skew (Zipf article ids dedup to far
+               fewer uniques); if any shard's deduped demand exceeds
+               capacity the output is NaN-poisoned rather than silently
+               truncated.
     """
     if strategy not in ("psum", "all_to_all"):
         raise ValueError(f"unknown strategy {strategy!r}")
+    if capacity is not None and capacity < 1:
+        raise ValueError("capacity must be >= 1")
 
     def local_psum(table_shard, ids):
         # table_shard: (R, E) — this shard's rows; ids: (B,) global ids.
@@ -78,53 +97,76 @@ def make_sharded_lookup(mesh, strategy: str = "psum"):
         return jax.lax.psum(rows, MODEL_AXIS)
 
     def local_all_to_all(table_shard, ids):
-        # Static-capacity bucketed exchange. Capacity = B (worst case all
-        # ids owned by one shard) keeps shapes static; slots beyond the
-        # bucket fill are masked.
+        # Deduplicated static-capacity bucketed exchange: unique ids
+        # only ride the interconnect (a hot id sends ONE row however
+        # many batch slots repeat it); duplicates re-expand locally via
+        # the inverse map after the round trip.
         R = table_shard.shape[0]
         S = jax.lax.axis_size(MODEL_AXIS)
         B = ids.shape[0]
-        owner = ids // R                          # (B,)
-        # Sort ids by owner to build per-owner contiguous buckets.
+        cap = min(B, R) if capacity is None else min(capacity, B, R)
+        uids, inv = jnp.unique(
+            ids, size=B, fill_value=-1, return_inverse=True
+        )  # fill slots land at the END (sorted uniques first)
+        valid = uids >= 0
+        owner = jnp.where(valid, uids // R, S)  # fills sort last
+        # Sort unique ids by owner to build contiguous buckets.
         order = jnp.argsort(owner)
-        sorted_ids = ids[order]
+        sorted_uids = uids[order]
         sorted_owner = owner[order]
+        sorted_valid = valid[order]
         # position of each element within its owner bucket
         pos_in_bucket = jnp.arange(B) - jnp.searchsorted(
             sorted_owner, sorted_owner, side="left"
         )
-        # (S, B) send buffer of local row indices (masked -> 0)
-        send_ids = jnp.zeros((S, B), jnp.int32)
-        send_mask = jnp.zeros((S, B), bool)
-        send_ids = send_ids.at[sorted_owner, pos_in_bucket].set(
-            sorted_ids - sorted_owner * R
+        fits = sorted_valid & (pos_in_bucket < cap)
+        # Demand above capacity is a configuration error: poison the
+        # result (NaN) instead of silently dropping rows.
+        overflow = jnp.any(sorted_valid & ~fits)
+        dest = jnp.where(fits, sorted_owner, S)     # OOB -> dropped
+        slot = jnp.where(fits, pos_in_bucket, cap)  # OOB -> dropped
+        send_ids = (
+            jnp.zeros((S, cap), jnp.int32)
+            .at[dest, slot]
+            .set(sorted_uids - sorted_owner * R, mode="drop")
         )
-        send_mask = send_mask.at[sorted_owner, pos_in_bucket].set(
-            True
+        send_mask = (
+            jnp.zeros((S, cap), bool)
+            .at[dest, slot]
+            .set(True, mode="drop")
         )
         # Exchange: shard s receives the requests destined to it.
         recv_ids = jax.lax.all_to_all(
             send_ids, MODEL_AXIS, split_axis=0, concat_axis=0,
             tiled=False,
-        )                                          # (S, B) requests for me
+        )                                      # (S, cap) requests for me
         recv_mask = jax.lax.all_to_all(
             send_mask, MODEL_AXIS, split_axis=0, concat_axis=0,
             tiled=False,
         )
         safe = jnp.where(recv_mask, recv_ids, 0)
         rows = jnp.take(table_shard, safe.reshape(-1), axis=0)
-        rows = rows.reshape(S, B, -1)
+        rows = rows.reshape(S, cap, -1)
         rows = jnp.where(recv_mask[:, :, None], rows, 0.0)
         # Send results back to requesters.
         back = jax.lax.all_to_all(
             rows, MODEL_AXIS, split_axis=0, concat_axis=0,
             tiled=False,
-        )                                          # (S, B, E) my answers
-        # Scatter back into batch order.
-        out = jnp.zeros((B, rows.shape[-1]), rows.dtype)
-        gathered = back[sorted_owner, pos_in_bucket]  # (B, E) sorted order
-        out = out.at[order].set(gathered)
-        return out
+        )                                      # (S, cap, E) my answers
+        # Unscramble to unique order, then re-expand duplicates.
+        g_dest = jnp.where(fits, sorted_owner, 0)
+        g_slot = jnp.where(fits, pos_in_bucket, 0)
+        gathered = back[g_dest, g_slot]        # (B, E) sorted order
+        gathered = jnp.where(fits[:, None], gathered, 0.0)
+        uout = (
+            jnp.zeros((B, rows.shape[-1]), rows.dtype)
+            .at[order]
+            .set(gathered)
+        )
+        out = jnp.take(uout, inv, axis=0)      # back to batch order
+        return out * jnp.where(
+            overflow, jnp.float32(jnp.nan), jnp.float32(1.0)
+        )
 
     fn = local_psum if strategy == "psum" else local_all_to_all
     # ids are sharded over the data axis (each data shard looks up its own

@@ -175,6 +175,94 @@ class TestShardedEmbedding:
             np.asarray(out), table[ids], rtol=1e-6
         )
 
+    def test_zipf_skew_matches_dense(self, rng):
+        """SURVEY §7 hard part #4: Zipf-hot ids. The deduped exchange
+        must stay exact under heavy duplication."""
+        mesh = make_mesh(data=1, model=8)
+        V, E, B = 200, 16, 128
+        table = rng.normal(size=(V, E)).astype(np.float32)
+        sharded = shard_table(table, mesh)
+        ids = np.minimum(
+            rng.zipf(1.3, B) - 1, V - 1
+        ).astype(np.int32)  # heavy head: id 0 repeats ~B/3 times
+        for strategy in ("psum", "all_to_all"):
+            lookup = make_sharded_lookup(mesh, strategy)
+            out = jax.jit(lookup)(sharded, jnp.asarray(ids))
+            np.testing.assert_allclose(
+                np.asarray(out), table[ids], rtol=1e-6
+            )
+
+    def test_zipf_skew_gradients_match_dense(self, rng):
+        """Duplicate ids must SUM their gradients into the unique row
+        through the deduped exchange, exactly like a dense gather."""
+        mesh = make_mesh(data=1, model=8)
+        V, E, B = 80, 8, 64
+        table = rng.normal(size=(V, E)).astype(np.float32)
+        ids = np.minimum(rng.zipf(1.3, B) - 1, V - 1).astype(np.int32)
+        w = rng.normal(size=(B, E)).astype(np.float32)
+
+        def dense_loss(t):
+            return jnp.sum(jnp.take(t, ids, axis=0) * w)
+
+        g_ref = jax.grad(dense_loss)(jnp.asarray(table))
+        lookup = make_sharded_lookup(mesh, "all_to_all")
+        sharded = shard_table(table, mesh)
+
+        def dist_loss(t):
+            return jnp.sum(lookup(t, jnp.asarray(ids)) * w)
+
+        g_dist = jax.jit(jax.grad(dist_loss))(sharded)
+        np.testing.assert_allclose(
+            np.asarray(g_dist)[:V], np.asarray(g_ref),
+            rtol=1e-5, atol=1e-6,
+        )
+
+    def test_hot_id_needs_one_slot(self, rng):
+        """A batch of ONE repeated id fits capacity=1: the exchange
+        carries O(unique ids), not O(B), per destination shard."""
+        mesh = make_mesh(data=1, model=8)
+        V, E, B = 64, 8, 48
+        table = rng.normal(size=(V, E)).astype(np.float32)
+        sharded = shard_table(table, mesh)
+        lookup = make_sharded_lookup(
+            mesh, "all_to_all", capacity=1
+        )
+        ids = np.full((B,), 37, np.int32)
+        out = jax.jit(lookup)(sharded, jnp.asarray(ids))
+        np.testing.assert_allclose(
+            np.asarray(out), table[ids], rtol=1e-6
+        )
+
+    def test_capacity_overflow_poisons_not_truncates(self, rng):
+        """Deduped demand above capacity must be LOUD (NaN), never a
+        silently truncated lookup."""
+        mesh = make_mesh(data=1, model=8)
+        V, E = 64, 8
+        table = rng.normal(size=(V, E)).astype(np.float32)
+        sharded = shard_table(table, mesh)
+        lookup = make_sharded_lookup(
+            mesh, "all_to_all", capacity=2
+        )
+        # 3 distinct ids owned by shard 0 (R = 8): demand 3 > cap 2
+        ids = np.array([0, 1, 2, 0, 1, 2, 0, 0], np.int32)
+        out = jax.jit(lookup)(sharded, jnp.asarray(ids))
+        assert np.isnan(np.asarray(out)).all()
+
+    def test_default_capacity_bounded_by_shard_rows(self, rng):
+        """cap defaults to min(B, R): with R < B the exchange shrinks
+        automatically and stays exact (a shard cannot own more than R
+        distinct ids)."""
+        mesh = make_mesh(data=1, model=8)
+        V, E, B = 40, 4, 64  # R = 5 < B
+        table = rng.normal(size=(V, E)).astype(np.float32)
+        sharded = shard_table(table, mesh)
+        lookup = make_sharded_lookup(mesh, "all_to_all")
+        ids = rng.integers(0, V, B).astype(np.int32)
+        out = jax.jit(lookup)(sharded, jnp.asarray(ids))
+        np.testing.assert_allclose(
+            np.asarray(out), table[ids], rtol=1e-6
+        )
+
     def test_gradient_matches_dense(self, rng):
         mesh = make_mesh(data=1, model=8)
         V, E, B = 40, 4, 16
