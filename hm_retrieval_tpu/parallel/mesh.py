@@ -106,6 +106,23 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P(DATA_AXIS))
 
 
+def data_axis_process_aligned(mesh: Mesh) -> bool:
+    """True iff every data-axis chunk's devices belong to a single
+    process. Multi-host runners feed each process a DISJOINT shard
+    subset as its slice of the global batch; if a data chunk's model
+    replicas span processes, two hosts would supply different rows for
+    the same chunk and the computation silently diverges per rank —
+    the runners refuse such meshes up front. (Meshes with data chunks
+    deliberately replicated across processes are still usable via
+    shard_batch directly when every member feeds identical rows.)"""
+    arr = np.asarray(mesh.devices, dtype=object)
+    d = mesh.axis_names.index(DATA_AXIS)
+    rows = np.moveaxis(arr, d, 0).reshape(arr.shape[d], -1)
+    return all(
+        len({dev.process_index for dev in row}) == 1 for row in rows
+    )
+
+
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 

@@ -46,6 +46,7 @@ from typing import Dict, Iterable
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 from jax import shard_map
 from jax.sharding import NamedSharding, PartitionSpec as P
@@ -111,7 +112,14 @@ def create_sharded_sparse_state(
             x = jnp.concatenate(
                 [x, jnp.zeros((pad, x.shape[1]), x.dtype)]
             )
-        return jax.device_put(x, NamedSharding(mesh, spec))
+        # place_global: multi-host safe (every process holds the full
+        # seeded init; device_put to shardings spanning non-addressable
+        # devices is unsupported)
+        from hm_retrieval_tpu.parallel.mesh import place_global
+
+        return place_global(
+            np.asarray(x), NamedSharding(mesh, spec)
+        )
 
     # Pad rows (tables and accumulators alike) are zero-filled dead rows:
     # no id can reach them, so their contents never matter.

@@ -23,6 +23,7 @@ from typing import Iterable, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -33,6 +34,7 @@ from hm_retrieval_tpu.models.two_tower import (
 from hm_retrieval_tpu.parallel.mesh import (
     MODEL_AXIS,
     batch_sharding,
+    place_global,
     replicated,
 )
 
@@ -85,7 +87,8 @@ def create_sharded_train_state(
             x = jnp.concatenate(
                 [x, jnp.zeros((pad, x.shape[1]), x.dtype)]
             )
-        return jax.device_put(x, s)
+        # multi-host safe: every process holds the full seeded init
+        return place_global(np.asarray(x), s)
 
     params = jax.tree.map(place, params, shardings)
 
@@ -122,8 +125,8 @@ def create_sharded_train_state(
     return TrainState(
         params=params,
         opt_state=opt_state,
-        step=jax.device_put(
-            jnp.zeros((), jnp.int32), replicated(mesh)
+        step=place_global(
+            np.zeros((), np.int32), replicated(mesh)
         ),
     )
 

@@ -205,6 +205,17 @@ def evaluate(
     if P > 1:
         if mesh is None:
             raise ValueError("multi-host eval requires a mesh")
+        from hm_retrieval_tpu.parallel.mesh import (
+            data_axis_process_aligned,
+        )
+
+        if not data_axis_process_aligned(mesh):
+            raise ValueError(
+                "multi-host eval needs a mesh whose data-axis chunks "
+                "each live on ONE process (hosts feed disjoint shard "
+                "subsets); use make_mesh(data=P*k, ...) aligned with "
+                "process order"
+            )
         if test_batch_size % P:
             raise ValueError(
                 f"test_batch_size {test_batch_size} must divide by "
@@ -409,6 +420,18 @@ def modelling_runner(
         raise ValueError(
             "train/test batch sizes must divide by the process count"
         )
+    if pc > 1:
+        from hm_retrieval_tpu.parallel.mesh import (
+            data_axis_process_aligned,
+        )
+
+        if not data_axis_process_aligned(mesh):
+            raise ValueError(
+                "multi-host training needs a mesh whose data-axis "
+                "chunks each live on ONE process (hosts feed disjoint "
+                "shard subsets); use make_mesh(data=P*k, ...) aligned "
+                "with process order"
+            )
     train_ds = ShardDataset(
         settings.train_shards_dirpath,
         process_index=pi,

@@ -1,12 +1,14 @@
-"""2-process jax.distributed bring-up driver (launched by
-tests/test_multihost.py, one subprocess per rank).
+"""Multi-process jax.distributed bring-up driver (launched by
+tests/test_multihost.py, one subprocess per rank; 2- and 4-rank modes).
 
-Each rank joins the process group, builds the global mesh over 2x4 fake
-CPU devices, evaluates the checkpointed model with its OWN test-shard
-subset (lockstep global batches, per-row validity masks, global metric),
-runs a couple of multi-host DP train steps, and writes its results as
-JSON. The parent test asserts both ranks report the IDENTICAL global
-recall, equal to the single-process oracle.
+Each rank joins the process group, builds the global mesh over 8 fake
+CPU devices total (8/nprocs per rank), evaluates the checkpointed model
+with its OWN test-shard subset (lockstep global batches, per-row
+validity masks, global metric), runs multi-host DP train steps AND
+cross-host sharded-sparse train steps (model axis spanning processes),
+and writes its results as JSON. The parent test asserts every rank
+reports the IDENTICAL global recall/losses, equal to the
+single-process oracle.
 
 Usage: python multihost_driver.py <rank> <nprocs> <port> <settings.json>
        <outfile>
@@ -23,9 +25,11 @@ rank, nprocs, port = (
 )
 settings_path, outfile = sys.argv[4], sys.argv[5]
 
+DEV_PER_PROC = 8 // nprocs
+
 os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ["XLA_FLAGS"] = (
-    "--xla_force_host_platform_device_count=4"
+    f"--xla_force_host_platform_device_count={DEV_PER_PROC}"
 )
 sys.path.insert(
     0,
@@ -43,7 +47,7 @@ jax.distributed.initialize(
     process_id=rank,
 )
 assert jax.process_count() == nprocs, jax.process_count()
-assert len(jax.devices()) == 4 * nprocs, len(jax.devices())
+assert len(jax.devices()) == 8, len(jax.devices())
 print("DRIVER_INIT_OK", flush=True)  # parent's skip-guard sentinel
 
 import numpy as np  # noqa: E402
@@ -75,7 +79,9 @@ multihost_utils.sync_global_devices("index_artifact_written")
 # lockstep eval composed) ---
 import dataclasses  # noqa: E402
 
-mesh_dm = make_mesh(data=2, model=2 * nprocs)
+# data axis MUST partition processes (each rank feeds a disjoint shard
+# subset): one data row per rank, model axis over its own devices
+mesh_dm = make_mesh(data=nprocs, model=len(jax.devices()) // nprocs)
 dist_recalls = evaluation_runner(
     dataclasses.replace(
         settings, index_dirpath=settings.index_dirpath + "_dist"
@@ -154,6 +160,82 @@ for dev_batch in device_feed(batches, mesh=mesh):
     state, m = step(state, dev_batch)
     losses.append(float(m["loss"]))
 
+# --- cross-host sharded-sparse training: a data x model mesh whose
+# MODEL axis SPANS processes (row-sharded tables + Adagrad accumulators
+# live across hosts; the lookup psum and update all_gather ride the
+# cross-process interconnect). Data groups are pairs of processes; both
+# members of a group feed the SAME rows (replicated within the group,
+# disjoint across groups), so the model axis can span them. ---
+from jax.sharding import Mesh  # noqa: E402
+
+from hm_retrieval_tpu.parallel import (  # noqa: E402
+    create_sharded_sparse_state,
+    make_sharded_sparse_train_step,
+)
+from hm_retrieval_tpu.models.sparse_optimizer import (  # noqa: E402
+    create_sparse_train_state,
+)
+
+n_groups = max(1, nprocs // 2)
+dev_by_proc = np.asarray(jax.devices(), dtype=object).reshape(
+    nprocs, DEV_PER_PROC
+)
+arr = np.stack(
+    [
+        np.concatenate(
+            [dev_by_proc[p] for p in range(2 * g, 2 * g + 2)]
+        )
+        if nprocs >= 2
+        else dev_by_proc.reshape(-1)
+        for g in range(n_groups)
+    ]
+)  # (n_groups, 8 / n_groups): each model row spans 2 processes
+mesh_tp = Mesh(arr, ("data", "model"))
+for row in arr:
+    assert len({d.process_index for d in row}) >= min(2, nprocs)
+data_group = min(rank // 2, n_groups - 1)
+
+tp_feats = ["customer_id", "article_id"]
+tc2 = schema.training_config
+lr = tc2.optimizer_kwargs.get("learning_rate", 0.05)
+sp_state = create_sharded_sparse_state(
+    model, opt, mesh_tp, tp_feats, seed=0
+)
+sp_step = make_sharded_sparse_train_step(
+    model, opt, lr, mesh_tp, tp_feats
+)
+tp_ds = ShardDataset(
+    settings.train_shards_dirpath,
+    process_index=data_group,
+    process_count=n_groups,
+)
+tp_batches = itertools.islice(
+    tp_ds.iter_batches(16, drop_remainder=True), 3
+)
+tp_losses = []
+for dev_batch in device_feed(tp_batches, mesh=mesh_tp):
+    sp_state, m = sp_step(sp_state, dev_batch)
+    tp_losses.append(float(m["loss"]))
+# updated sharded tables must be identical across the whole group:
+# hash the unpadded params on every rank and compare in the parent
+from hm_retrieval_tpu.parallel import unpad_params  # noqa: E402
+
+rep = jax.device_get(
+    jax.jit(
+        lambda p: jax.tree.map(lambda x: x, p),
+        out_shardings=jax.sharding.NamedSharding(
+            mesh_tp, jax.sharding.PartitionSpec()
+        ),
+    )(sp_state.params)
+)
+sp_params = unpad_params(rep, model)
+param_digest = float(
+    sum(
+        np.float64(np.asarray(leaf, np.float64).sum())
+        for leaf in jax.tree.leaves(sp_params)
+    )
+)
+
 with open(outfile, "w") as f:
     json.dump(
         {
@@ -166,6 +248,9 @@ with open(outfile, "w") as f:
                 str(k): v for k, v in local_recalls.items()
             },
             "train_losses": losses,
+            "tp_losses": tp_losses,
+            "tp_param_digest": param_digest,
+            "tp_mesh": [int(x) for x in arr.shape],
             "local_test_rows": test_ds.local_num_rows,
         },
         f,

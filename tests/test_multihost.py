@@ -112,15 +112,72 @@ def _free_port():
         return s.getsockname()[1]
 
 
-class TestTwoProcessBringup:
-    def test_distributed_eval_matches_single_process(
-        self, pipeline, tmp_path  # noqa: F811
+def _tp_oracle(settings, n_groups: int, steps: int = 3):
+    """Single-process sparse-Adagrad oracle over the SAME global
+    batches the cross-host sharded-sparse section assembles (data chunk
+    g = group g's shard-subset rows, 16 per group per step). Returns
+    (losses, params_digest)."""
+    import jax
+    import jax.numpy as jnp
+
+    from hm_retrieval_tpu.models import OptimizerFactory
+    from hm_retrieval_tpu.models.sparse_optimizer import (
+        create_sparse_train_state,
+        make_sparse_train_step,
+    )
+    from hm_retrieval_tpu.models.two_tower import TwoTowerModel
+    from hm_retrieval_tpu.schema.schema import Schema
+
+    schema = Schema.load(settings.schema_dirpath)
+    model = TwoTowerModel.create_from_schema(schema)
+    tc = schema.training_config
+    opt = OptimizerFactory.get_optimizer(
+        tc.optimizer_name, tc.optimizer_kwargs
+    )
+    state = create_sparse_train_state(model, opt, seed=0)
+    step = make_sparse_train_step(
+        model, opt, tc.optimizer_kwargs.get("learning_rate", 0.05)
+    )
+    its = [
+        ShardDataset(
+            settings.train_shards_dirpath,
+            process_index=g,
+            process_count=n_groups,
+        ).iter_batches(16, drop_remainder=True)
+        for g in range(n_groups)
+    ]
+    losses = []
+    for _ in range(steps):
+        parts = [next(it) for it in its]
+        gb = {
+            k: jnp.asarray(
+                np.concatenate([np.asarray(p[k]) for p in parts])
+            )
+            for k in parts[0]
+        }
+        state, m = step(state, gb)
+        losses.append(float(m["loss"]))
+    digest = float(
+        sum(
+            np.float64(np.asarray(leaf, np.float64).sum())
+            for leaf in jax.tree.leaves(state.params)
+        )
+    )
+    return losses, digest
+
+
+class TestProcessGroupBringup:
+    @pytest.mark.parametrize("nprocs", [2, 4])
+    def test_distributed_run_matches_single_process(
+        self, pipeline, tmp_path, nprocs  # noqa: F811
     ):
-        """Spawn a real 2-process jax.distributed group (CPU, 4 fake
-        devices each): both ranks must report the identical GLOBAL
+        """Spawn a real nprocs-rank jax.distributed group (CPU, 8 fake
+        devices total): every rank must report the identical GLOBAL
         recall — via lockstep mesh eval AND via per-host independent
         eval with cross-process metric aggregation — equal to the
-        single-process oracle."""
+        single-process oracle; and the cross-host sharded-sparse train
+        step (model axis spanning processes) must reproduce the
+        single-process sparse-Adagrad oracle exactly."""
         import dataclasses
 
         from hm_retrieval_tpu.runners import evaluation_runner
@@ -131,6 +188,9 @@ class TestTwoProcessBringup:
                 settings,
                 index_dirpath=str(tmp_path / "oracle_index"),
             )
+        )
+        tp_losses_oracle, tp_digest_oracle = _tp_oracle(
+            settings, max(1, nprocs // 2)
         )
 
         cfg = dataclasses.asdict(
@@ -153,7 +213,7 @@ class TestTwoProcessBringup:
             if k not in ("XLA_FLAGS", "JAX_PLATFORMS")
         }
         procs, outs = [], []
-        for rank in range(2):
+        for rank in range(nprocs):
             outfile = str(tmp_path / f"out_{rank}.json")
             outs.append(outfile)
             procs.append(
@@ -162,7 +222,7 @@ class TestTwoProcessBringup:
                         sys.executable,
                         driver,
                         str(rank),
-                        "2",
+                        str(nprocs),
                         str(port),
                         settings_path,
                         outfile,
@@ -182,8 +242,8 @@ class TestTwoProcessBringup:
                 for q in procs:
                     q.kill()
                 pytest.skip(
-                    "2-process jax.distributed group timed out in "
-                    "this harness"
+                    f"{nprocs}-process jax.distributed group timed "
+                    "out in this harness"
                 )
             logs.append(out)
             failed |= p.returncode != 0
@@ -203,25 +263,37 @@ class TestTwoProcessBringup:
         for outfile in outs:
             with open(outfile) as f:
                 results.append(json.load(f))
-        r0, r1 = results
-        # both ranks computed the identical GLOBAL metric
-        assert r0["recalls"] == r1["recalls"]
-        assert r0["local_recalls"] == r1["local_recalls"]
-        assert r0["dist_recalls"] == r1["dist_recalls"]
-        # each saw only part of the test set
+        r0 = results[0]
+        # every rank computed the identical GLOBAL metrics/losses
+        for r in results[1:]:
+            assert r["recalls"] == r0["recalls"]
+            assert r["local_recalls"] == r0["local_recalls"]
+            assert r["dist_recalls"] == r0["dist_recalls"]
+            assert r["tp_losses"] == r0["tp_losses"]
+            assert r["tp_param_digest"] == r0["tp_param_digest"]
+        # each rank saw only part of the test set; together, all of it
         full_rows = ShardDataset(
             settings.test_shards_dirpath
         ).num_rows
-        assert r0["local_test_rows"] < full_rows
+        assert all(
+            r["local_test_rows"] < full_rows for r in results
+        )
         assert (
-            r0["local_test_rows"] + r1["local_test_rows"]
-            == full_rows
+            sum(r["local_test_rows"] for r in results) == full_rows
         )
         # and the global metric equals the single-process oracle
         oracle_s = {str(k): v for k, v in oracle.items()}
         assert r0["recalls"] == oracle_s
         assert r0["local_recalls"] == oracle_s
-        # catalog row-sharded over the 2-host mesh: same global recall
+        # catalog row-sharded over the cross-host mesh: same recall
         assert r0["dist_recalls"] == oracle_s
         assert all(np.isfinite(r0["train_losses"]))
         assert len(r0["train_losses"]) == 3
+        # cross-host sharded-sparse == single-process sparse Adagrad
+        assert r0["tp_mesh"][0] == max(1, nprocs // 2)
+        np.testing.assert_allclose(
+            r0["tp_losses"], tp_losses_oracle, rtol=1e-5
+        )
+        np.testing.assert_allclose(
+            r0["tp_param_digest"], tp_digest_oracle, rtol=1e-6
+        )

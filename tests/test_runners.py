@@ -73,8 +73,8 @@ def pipeline(tmp_path_factory):
         tensorboard_logs_dir=None,
         profile_steps=None,
         # several shards per split so multi-process readers
-        # (tests/test_multihost.py) can partition them
-        max_shard_rows=500,
+        # (tests/test_multihost.py, up to 4 ranks) can partition them
+        max_shard_rows=200,
     )
     schema = Schema(
         features=[
