@@ -79,6 +79,19 @@ def quantize_rows(embeddings: np.ndarray):
     return codes, scales
 
 
+def quantize_rows_global(embeddings: np.ndarray):
+    """Symmetric int8 quantization with ONE scale for the whole
+    catalog: returns (int8 codes, fp32 scalar scale). Raw int scores
+    against a shared-scale catalog are order-comparable across rows,
+    which lets the retrieval kernel drop its per-column dequantization
+    FMA entirely (ops/pallas_retrieval.py::pallas_quantized_topk_global)
+    at the cost of coarser resolution for small-norm rows."""
+    emb = np.asarray(embeddings, np.float32)
+    g = float(np.max(np.abs(emb)) / 127.0) or 1.0
+    codes = np.clip(np.rint(emb / g), -127, 127).astype(np.int8)
+    return codes, np.float32(g)
+
+
 class QuantizedIndex:
     """Approximate (near-exact) top-k retrieval over an int8 catalog.
 
@@ -118,6 +131,14 @@ class QuantizedIndex:
         and it is 4x faster. Raise to refine survivors to the exact
         dequantized top-k' (matters only without rescore on adversarial
         score distributions).
+    scale_mode:
+        "per_row" (default): symmetric per-row scales — best survivor
+        accuracy. "global": ONE scale for the whole catalog — raw int
+        scores become order-comparable, so the single-pass pallas
+        engine drops the per-column dequantization FMA from its
+        VPU-bound inner loop (pallas_quantized_topk_global); small-norm
+        rows quantize more coarsely, so pair with ``rescore`` unless
+        the catalog's row norms are uniform.
     """
 
     PAD_MULTIPLE = 1024
@@ -134,6 +155,7 @@ class QuantizedIndex:
         method: str = "auto",
         pallas_rounds: int = 1,
         pallas_fold: int = None,
+        scale_mode: str = "per_row",
     ):
         if k <= 0:
             raise ValueError("k must be positive")
@@ -145,6 +167,9 @@ class QuantizedIndex:
             raise ValueError(f"unknown method {method!r}")
         if pallas_rounds < 1:
             raise ValueError("pallas_rounds must be >= 1")
+        if scale_mode not in ("per_row", "global"):
+            raise ValueError(f"unknown scale_mode {scale_mode!r}")
+        self.scale_mode = scale_mode
         if pallas_fold is not None:
             if pallas_fold < 1:
                 raise ValueError("pallas_fold must be >= 1")
@@ -202,7 +227,13 @@ class QuantizedIndex:
             method, k_eff, embeddings.shape[1]
         )
 
-        codes, scales = quantize_rows(embeddings)
+        if scale_mode == "global":
+            codes, g = quantize_rows_global(embeddings)
+            scales = np.full((len(codes),), g, np.float32)
+            self.global_scale = float(g)
+        else:
+            codes, scales = quantize_rows(embeddings)
+            self.global_scale = None
         codes_p = np.zeros((n_pad, embeddings.shape[1]), np.int8)
         codes_p[: self.num_candidates] = codes
         scales_p = np.zeros((n_pad,), np.float32)
@@ -405,8 +436,71 @@ class QuantizedIndex:
             top_i = jnp.take_along_axis(top_i, sel, axis=1)
         return top_s, jnp.take(identifiers, top_i)
 
+    @staticmethod
+    @partial(
+        jax.jit,
+        static_argnames=("k", "k_over", "n_valid", "fold"),
+    )
+    def _topk_pallas_global(
+        query_embeddings,  # (B, E) fp32
+        codes,             # (N_pad, E) int8, ONE shared scale
+        global_scale,      # scalar fp32
+        identifiers,       # (N_pad,)
+        fp32_embeddings,   # (N_pad, E) or None
+        k,
+        k_over,
+        n_valid,
+        fold,
+    ):
+        """Global-scale survivor selection: the raw streaming kernel
+        (no per-column dequant FMA) picks top-k_over, then the usual
+        exact fp32 rescore."""
+        from hm_retrieval_tpu.ops.pallas_retrieval import (
+            pallas_quantized_topk_global,
+        )
+
+        q = query_embeddings.astype(jnp.float32)
+        kk = k_over if fp32_embeddings is not None else k
+        top_s, top_i, _ = pallas_quantized_topk_global(
+            q,
+            codes,
+            global_scale,
+            kk,
+            n_valid=n_valid,
+            fold=fold,
+            interpret=jax.default_backend() != "tpu",
+        )
+        if fp32_embeddings is not None:
+            rows = jnp.take(fp32_embeddings, top_i, axis=0)
+            exact = jnp.einsum(
+                "be,bke->bk",
+                q,
+                rows,
+                preferred_element_type=jnp.float32,
+            )
+            exact = jnp.where(jnp.isneginf(top_s), -jnp.inf, exact)
+            top_s, sel = jax.lax.top_k(exact, k)
+            top_i = jnp.take_along_axis(top_i, sel, axis=1)
+        return top_s, jnp.take(identifiers, top_i)
+
     def topk_from_embeddings(self, query_embeddings: jax.Array):
         """(B, E) query embeddings -> ((B, k) scores, (B, k) int ids)."""
+        if (
+            self.method == "pallas"
+            and self.scale_mode == "global"
+            and self.pallas_rounds == 1
+        ):
+            return self._topk_pallas_global(
+                query_embeddings,
+                self.codes,
+                jnp.float32(self.global_scale),
+                self.identifiers,
+                self.embeddings,
+                self.k,
+                min(self.k_over, self.num_candidates),
+                self.num_candidates,
+                self.pallas_fold,
+            )
         if self.method == "pallas":
             return self._topk_pallas(
                 query_embeddings,
@@ -473,6 +567,7 @@ class QuantizedIndex:
                     "method": self.method,
                     "pallas_rounds": self.pallas_rounds,
                     "pallas_fold": self.pallas_fold,
+                    "scale_mode": self.scale_mode,
                 },
                 f,
             )
@@ -512,6 +607,7 @@ class QuantizedIndex:
                 method=method,
                 pallas_rounds=meta.get("pallas_rounds", 1),
                 pallas_fold=meta.get("pallas_fold"),
+                scale_mode=meta.get("scale_mode", "per_row"),
             )
             # Preserve the exact saved codes (round-trip identity
             # regardless of requantization drift).
@@ -531,8 +627,12 @@ class QuantizedIndex:
         idx.recall_target = meta.get("recall_target", 0.95)
         idx.pallas_rounds = meta.get("pallas_rounds", 1)
         idx.pallas_fold = meta.get("pallas_fold")
+        idx.scale_mode = meta.get("scale_mode", "per_row")
         codes = z["codes"]
         scales = z["scales"]
+        idx.global_scale = (
+            float(scales[0]) if idx.scale_mode == "global" else None
+        )
         identifiers = z["identifiers"]
         idx.num_candidates = len(identifiers)
         n_pad = _pad_to_multiple(

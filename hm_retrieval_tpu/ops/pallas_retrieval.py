@@ -588,6 +588,114 @@ def bin_max2_scaled_fold_pass(
     return m1, globalize(a1c), m2, globalize(a2c)
 
 
+def _bin_max2_raw_fold_kernel(
+    q_ref,      # (B, E) VMEM, resident (compute dtype)
+    c_ref,      # (F*L, E) VMEM, current chunk — int8 codes
+    m1_ref,
+    a1_ref,
+    m2_ref,
+    a2_ref,
+    *,
+    L: int,
+    F: int,
+):
+    """GLOBAL-quantization-scale variant of the fold kernel: with one
+    scale for the whole catalog, raw bf16xint8 dot products are already
+    order-comparable across columns, so the per-column dequantization
+    FMA — 2 VPU ops on EVERY element of the (B, F*L) score tile of this
+    VPU-bound kernel (BASELINE.md roofline) — is deleted outright. The
+    caller multiplies the k surviving values by the scalar scale once
+    (O(B*k) work) and handles validity by streaming only full chunks of
+    real rows (no per-element mask either). F=1 degenerates to the
+    no-fold single pass."""
+    c = pl.program_id(0)
+
+    @pl.when(c == 0)
+    def _():
+        m1_ref[:] = jnp.full(m1_ref.shape, NEG_INF, m1_ref.dtype)
+        a1_ref[:] = jnp.full(a1_ref.shape, BIG_IDX, a1_ref.dtype)
+        m2_ref[:] = jnp.full(m2_ref.shape, NEG_INF, m2_ref.dtype)
+        a2_ref[:] = jnp.full(a2_ref.shape, BIG_IDX, a2_ref.dtype)
+
+    codes = c_ref[:].astype(q_ref.dtype)
+    scores = jnp.dot(
+        q_ref[:], codes.T, preferred_element_type=jnp.float32
+    )  # (B, F*L) raw — no scale, no bias
+    s = scores[:, :L]
+    slot = jnp.zeros(s.shape, jnp.int32)
+    for t in range(1, F):
+        st = scores[:, t * L : (t + 1) * L]
+        take = st > s
+        s = jnp.where(take, st, s)
+        slot = jnp.where(take, t, slot)
+
+    base = c * F
+    m1, a1 = m1_ref[:], a1_ref[:]
+    m2, a2 = m2_ref[:], a2_ref[:]
+    gt1 = s > m1
+    gt2 = s > m2
+    sid = base + slot
+    m1_ref[:] = jnp.where(gt1, s, m1)
+    a1_ref[:] = jnp.where(gt1, sid, a1)
+    m2_ref[:] = jnp.where(gt1, m1, jnp.where(gt2, s, m2))
+    a2_ref[:] = jnp.where(gt1, a1, jnp.where(gt2, sid, a2))
+
+
+@functools.partial(
+    jax.jit, static_argnames=("L", "F", "interpret")
+)
+def bin_max2_raw_fold_pass(
+    q: jax.Array,       # (B, E) compute dtype
+    codes: jax.Array,   # (n_full, E) int8, n_full % (F*L) == 0,
+                        # ALL rows real (caller streams full chunks only)
+    L: int,
+    F: int,
+    interpret: bool = False,
+):
+    """Single streaming pass over a full-chunks-only int8 catalog with
+    NO dequantization and NO masking (see _bin_max2_raw_fold_kernel).
+    Returns raw-score maxima and globalized indices."""
+    B, E = q.shape
+    n_full = codes.shape[0]
+    assert n_full % (F * L) == 0 and n_full > 0
+    grid = (n_full // (F * L),)
+    bl = lambda c: (0, 0)  # noqa: E731
+    m1, a1c, m2, a2c = pl.pallas_call(
+        functools.partial(_bin_max2_raw_fold_kernel, L=L, F=F),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((B, E), bl, memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (F * L, E),
+                lambda c: (c, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=tuple(
+            pl.BlockSpec((B, L), bl, memory_space=pltpu.VMEM)
+            for _ in range(4)
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, L), jnp.float32),
+            jax.ShapeDtypeStruct((B, L), jnp.int32),
+            jax.ShapeDtypeStruct((B, L), jnp.float32),
+            jax.ShapeDtypeStruct((B, L), jnp.int32),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * n_full * E,
+            bytes_accessed=n_full * E + 4 * B * L * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(q, codes)
+    col = jnp.arange(L, dtype=jnp.int32)[None, :]
+
+    def globalize(ac):
+        return jnp.where(ac == BIG_IDX, BIG_IDX, ac * L + col)
+
+    return m1, globalize(a1c), m2, globalize(a2c)
+
+
 def _bin_max2_scaled_kernel(
     q_ref,      # (B, E) VMEM, resident (compute dtype)
     c_ref,      # (L, E) VMEM, current chunk — int8 codes
@@ -1143,6 +1251,176 @@ def pallas_exact_topk(
     )
 
 
+def _single_pass_policy(B, E, k, N, q_block=None, fold=None):
+    """Joint (q_block, fold) auto policy for the single-pass quantized
+    kernels, in measured preference order at the 10M point (BASELINE.md
+    fold sweep, 2026-08-21: (256, f16) 23.5ms < (512, f8) 24.9 <
+    (1024, f2) 30.7 < (1024, f1) 37.9 rescored, identical recall at
+    iso-L=512). The kernel is VPU-cascade-bound, so deeper folds win as
+    long as the wider score tile fits VMEM; folds are skipped for small
+    catalogs where the F*L-wide chunk would be mostly padding."""
+    chosen = None
+    for qb_c, f_c in (
+        (256, 16),
+        (512, 8),
+        (1024, 2),
+        (1024, 1),
+        (512, 1),
+        (256, 1),
+        (128, 1),
+    ):
+        if q_block is not None and q_block != qb_c:
+            continue
+        if fold is not None and fold != f_c:
+            continue
+        if f_c > 1 and f_c * max(k, 512) * 2 > N:
+            continue  # fold chunk would be mostly padding
+        # feasibility = the ACTUAL L pick_bins would choose for this
+        # (q_block, fold) — probing a fixed L underestimates the
+        # footprint when k forces a larger bin count
+        if pick_bins(
+            min(B, qb_c),
+            E,
+            k,
+            keep_per_bin=2,
+            target=max(k, 512),
+            first_pass=True,
+            fold=f_c,
+        ) is not None:
+            chosen = (qb_c, f_c)
+            break
+    if chosen is not None:
+        return (
+            chosen[0] if q_block is None else q_block,
+            chosen[1] if fold is None else fold,
+        )
+    return (
+        DEFAULT_Q_BLOCK if q_block is None else q_block,
+        1 if fold is None else fold,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "k",
+        "n_valid",
+        "L",
+        "interpret",
+        "compute_dtype",
+        "q_block",
+        "fold",
+    ),
+)
+def pallas_quantized_topk_global(
+    queries: jax.Array,       # (B, E) float
+    codes: jax.Array,         # (N, E) int8 rows, ONE shared scale
+    global_scale,             # scalar fp32 dequantization scale
+    k: int,
+    n_valid: int = None,
+    L: int = None,
+    interpret: bool = False,
+    compute_dtype=jnp.bfloat16,
+    q_block: int = None,
+    fold: int = None,
+):
+    """Single-pass top-k over a GLOBALLY-quantized int8 catalog: with
+    one scale for every row, raw bf16 x int8 dot products are already
+    order-comparable, so the streaming kernel carries no per-column
+    dequantization FMA, no bias add, and no validity mask at all
+    (_bin_max2_raw_fold_kernel) — the leanest possible inner loop of
+    this VPU-bound family (BASELINE.md "Remaining levers"). Full chunks
+    of real rows stream through the kernel; the sub-chunk tail (fewer
+    than fold*L rows) is scored by one small XLA matmul and merged into
+    the leaderboard, and the k winners are scaled once at the end.
+
+    Trade-off vs per-row scales: one scale quantizes small-norm rows
+    more coarsely, so survivor recall can dip on catalogs with heavy
+    row-norm spread — measure with indices/quantized.py's
+    ``scale_mode="global"`` + rescore (tests/test_quantized_index.py).
+    Returns (values (B, k), indices (B, k), rounds=1)."""
+    B, E = queries.shape
+    N = codes.shape[0]
+    if n_valid is None:
+        n_valid = N
+    if n_valid > N:
+        raise ValueError(f"n_valid={n_valid} > catalog rows {N}")
+    if k > n_valid:
+        raise ValueError(f"k={k} > n_valid={n_valid}")
+    q_block, fold = _single_pass_policy(
+        B, E, k, n_valid, q_block, fold
+    )
+    B_blk = min(B, q_block) if q_block else B
+    if L is None:
+        L = pick_bins(
+            B_blk,
+            E,
+            k,
+            keep_per_bin=2,
+            target=max(k, 512),
+            first_pass=True,
+            fold=fold,
+        )
+        if L is None:
+            raise ValueError(
+                f"no feasible bin count for B={B_blk}, E={E}, k={k} "
+                "within the VMEM budget; use the XLA scan path instead"
+            )
+    if k > L:
+        raise ValueError(f"k={k} must be <= L={L}")
+    est = vmem_estimate_first(B_blk, E, L, fold)
+    if est > vmem_budget() and not interpret:
+        raise ValueError(
+            f"estimated VMEM {est/1e6:.1f}MB exceeds this device's "
+            f"budget; reduce L (got {L}), fold ({fold}) or q_block "
+            f"{B_blk}"
+        )
+    chunk_cols = fold * L
+    n_full = (n_valid // chunk_cols) * chunk_cols
+    queries = queries.astype(compute_dtype)
+    codes_full = codes[:n_full]
+    tail = codes[n_full:n_valid]  # (T, E), T < chunk_cols
+    T = tail.shape[0]
+    g = jnp.asarray(global_scale, jnp.float32)
+
+    vs, idxs = [], []
+    for s in range(0, B, B_blk):
+        qb = queries[s : s + B_blk]
+        vals_parts, idx_parts = [], []
+        if n_full:
+            m1, a1, m2, a2 = bin_max2_raw_fold_pass(
+                qb, codes_full, L, fold, interpret
+            )
+            vals_parts += [m1, m2]
+            idx_parts += [a1, a2]
+        if T:
+            ts = jnp.dot(
+                qb,
+                tail.astype(compute_dtype).T,
+                preferred_element_type=jnp.float32,
+            )  # (B_blk, T) raw, same scale as the kernel maxima
+            vals_parts.append(ts)
+            idx_parts.append(
+                jnp.broadcast_to(
+                    n_full + jnp.arange(T, dtype=jnp.int32)[None, :],
+                    ts.shape,
+                )
+            )
+        vals = jnp.concatenate(vals_parts, axis=1)
+        ids = jnp.concatenate(idx_parts, axis=1)
+        v, sel = lax.top_k(vals, k)
+        i = jnp.take_along_axis(ids, sel, axis=1)
+        vs.append(v * g)  # one O(B*k) dequantization at the end
+        idxs.append(i)
+    if len(vs) == 1:
+        return vs[0], idxs[0], jnp.int32(1)
+    return (
+        jnp.concatenate(vs, axis=0),
+        jnp.concatenate(idxs, axis=0),
+        jnp.int32(1),
+    )
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
@@ -1202,53 +1480,10 @@ def pallas_quantized_topk(
         raise ValueError(
             "fold > 1 applies to single-pass mode (max_rounds=1) only"
         )
-    if single_pass and (q_block is None or fold is None):
-        # Joint (q_block, fold) auto policy, in measured preference
-        # order at the 10M point (BASELINE.md fold sweep, 2026-08-21:
-        # (256, f16) 23.5ms < (512, f8) 24.9 < (1024, f2) 30.7 <
-        # (1024, f1) 37.9 rescored, identical recall at iso-L=512).
-        # The kernel is VPU-cascade-bound, so deeper folds win as long
-        # as the wider score tile fits VMEM; folds are skipped for
-        # small catalogs where the F*L-wide chunk would be mostly
-        # padding.
-        chosen = None
-        for qb_c, f_c in (
-            (256, 16),
-            (512, 8),
-            (1024, 2),
-            (1024, 1),
-            (512, 1),
-            (256, 1),
-            (128, 1),
-        ):
-            if q_block is not None and q_block != qb_c:
-                continue
-            if fold is not None and fold != f_c:
-                continue
-            if f_c > 1 and f_c * max(k, 512) * 2 > N:
-                continue  # fold chunk would be mostly padding
-            # feasibility = the ACTUAL L pick_bins would choose for
-            # this (q_block, fold) — probing a fixed L underestimates
-            # the footprint when k forces a larger bin count
-            if pick_bins(
-                min(B, qb_c),
-                E,
-                k,
-                keep_per_bin=2,
-                target=max(k, 512),
-                first_pass=True,
-                fold=f_c,
-            ) is not None:
-                chosen = (qb_c, f_c)
-                break
-        if chosen is not None:
-            q_block = chosen[0] if q_block is None else q_block
-            fold = chosen[1] if fold is None else fold
-        else:
-            q_block = (
-                DEFAULT_Q_BLOCK if q_block is None else q_block
-            )
-            fold = 1 if fold is None else fold
+    if single_pass:
+        q_block, fold = _single_pass_policy(
+            B, E, k, N, q_block, fold
+        )
     if fold is None:
         fold = 1
     if q_block is None:

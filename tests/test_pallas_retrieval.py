@@ -346,6 +346,80 @@ class TestFoldPass:
             )
             assert recall >= 0.9, (F, recall)
 
+    def test_global_scale_pass_matches_oracle(self, rng):
+        """pallas_quantized_topk_global: raw-score kernel (no dequant
+        FMA, no mask) + XLA tail merge == exact top-k of the globally
+        dequantized scores, for tails of every size including
+        kernel-free (n_valid < fold*L) and tail-free
+        (n_valid % (fold*L) == 0)."""
+        import jax.numpy as jnp
+
+        from hm_retrieval_tpu.indices.quantized import (
+            quantize_rows_global,
+        )
+        from hm_retrieval_tpu.ops.pallas_retrieval import (
+            pallas_quantized_topk_global,
+        )
+
+        E, B, k, L = 16, 8, 10, 256
+        q = rng.normal(size=(B, E)).astype(np.float32)
+        for F, n_valid in (
+            (1, 1000),   # tail 1000 - 768 = 232
+            (1, 512),    # no tail
+            (2, 300),    # n_valid < F*L: tail-only, no kernel launch
+            (2, 1500),   # fold + tail
+        ):
+            N = max(n_valid, 2048)
+            emb = rng.normal(size=(N, E)).astype(np.float32)
+            codes, g = quantize_rows_global(emb)
+            v, i, rounds = pallas_quantized_topk_global(
+                jnp.asarray(q),
+                jnp.asarray(codes),
+                g,
+                k,
+                n_valid=n_valid,
+                L=L,
+                fold=F,
+                interpret=True,
+                compute_dtype=jnp.float32,
+            )
+            assert int(rounds) == 1
+            assert np.asarray(i).max() < n_valid
+            scores = (
+                q @ (codes[:n_valid].astype(np.float32) * g).T
+            )
+            want = ref_topk(scores, k)
+            if F == 1:
+                # no fold losses: exact values
+                np.testing.assert_allclose(
+                    np.asarray(v), want, rtol=1e-5, atol=1e-6
+                )
+            else:
+                got_sets = [set(r) for r in np.asarray(i)]
+                ref_i = np.argsort(-scores, axis=1)[:, :k]
+                recall = np.mean(
+                    [
+                        len(a & set(b)) / k
+                        for a, b in zip(got_sets, ref_i)
+                    ]
+                )
+                assert recall >= 0.9, (F, n_valid, recall)
+
+    def test_global_scale_validation(self):
+        from hm_retrieval_tpu.ops.pallas_retrieval import (
+            pallas_quantized_topk_global,
+        )
+
+        with pytest.raises(ValueError, match="n_valid"):
+            pallas_quantized_topk_global(
+                jnp.zeros((2, 8)),
+                jnp.zeros((16, 8), jnp.int8),
+                1.0,
+                4,
+                n_valid=32,
+                interpret=True,
+            )
+
     def test_fold_rejected_with_rounds(self, rng):
         import pytest as _pytest
 

@@ -274,6 +274,72 @@ class TestQuantizedIndex:
             >= 0.99
         )
 
+    def test_global_scale_mode_recall(self, rng):
+        """scale_mode='global' on NON-uniform row norms (lognormal
+        spread — the realistic case where one shared scale hurts):
+        rescore keeps recall near the per-row mode's."""
+        ids, emb, q = self._data(rng, n=2000, e=32)
+        # lognormal row-norm spread: sigma=1 -> ~20x norm range
+        emb = emb * rng.lognormal(0.0, 1.0, (len(emb), 1)).astype(
+            np.float32
+        )
+        k = 20
+        oracle = BruteForceIndex(k, ids, emb, method="full")
+        _, want = oracle.topk_from_embeddings(jnp.asarray(q))
+        r = {}
+        for mode in ("per_row", "global"):
+            idx = QuantizedIndex(
+                k, ids, emb, method="pallas", scale_mode=mode
+            )
+            _, got = idx.topk_from_embeddings(jnp.asarray(q))
+            r[mode] = recall_vs_oracle(
+                np.asarray(got), np.asarray(want)
+            )
+        assert r["per_row"] >= 0.99
+        # the global mode gives up some survivor resolution; with the
+        # default 4x oversample + rescore it must stay close
+        assert r["global"] >= 0.95, r
+
+    def test_global_scale_pallas_path_engaged(self, rng):
+        """The global mode with pallas_rounds=1 must route through the
+        raw kernel entry (no per-column scales reach the kernel)."""
+        from unittest import mock
+
+        ids, emb, q = self._data(rng, n=600, e=16)
+        idx = QuantizedIndex(
+            5, ids, emb, method="pallas", scale_mode="global"
+        )
+        assert idx.global_scale is not None
+        with mock.patch.object(
+            QuantizedIndex,
+            "_topk_pallas_global",
+            wraps=QuantizedIndex._topk_pallas_global,
+        ) as spy:
+            idx.topk_from_embeddings(jnp.asarray(q))
+            assert spy.called
+
+    def test_global_scale_save_load_roundtrip(self, rng, tmp_path):
+        for rescore in (True, False):
+            ids, emb, q = self._data(rng, n=400, e=16)
+            idx = QuantizedIndex(
+                5,
+                ids,
+                emb,
+                rescore=rescore,
+                method="scan",
+                scale_mode="global",
+            )
+            d = str(tmp_path / f"g_{rescore}")
+            idx.save(d)
+            loaded = QuantizedIndex.load(d)
+            assert loaded.scale_mode == "global"
+            assert loaded.global_scale == idx.global_scale
+            _, a = idx.topk_from_embeddings(jnp.asarray(q))
+            _, b = loaded.topk_from_embeddings(jnp.asarray(q))
+            np.testing.assert_array_equal(
+                np.asarray(a), np.asarray(b)
+            )
+
     def test_load_index_dispatch(self, rng, tmp_path):
         from hm_retrieval_tpu.indices import load_index
 
