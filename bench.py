@@ -107,6 +107,21 @@ def hm_scale_model(
     return model, n_customers, n_articles
 
 
+def measure_null_roundtrip(n: int = 5) -> float:
+    """Median seconds for dispatch + value-fetch of a trivial jitted
+    op: the fixed tunnel/runtime overhead baked into EVERY timed
+    dispatch below. Reported so readers can judge how much of a short
+    measurement is relay latency rather than device time."""
+    f = jax.jit(lambda x: x + 1.0)
+    float(f(jnp.float32(0.0)))  # compile
+    ts = []
+    for i in range(n):
+        t0 = time.time()
+        float(f(jnp.float32(i)))
+        ts.append(time.time() - t0)
+    return float(np.median(ts))
+
+
 def bench_training(
     steps: int,
     batch: int,
@@ -114,11 +129,18 @@ def bench_training(
     n_customers: int = 1_371_980,
     n_articles: int = 105_542,
     emb_dim: int = 128,
+    repeats: int = 3,
 ):
     """Training throughput. ``sparse=True`` uses the sparse embedding
     Adagrad (models/sparse_optimizer.py — the production path for big
     tables: only batch rows are updated, exact dense parity); False uses
-    the dense optax step for comparison."""
+    the dense optax step for comparison.
+
+    The timed scan runs ``repeats`` times on distinct device-generated
+    data; the headline is the MEDIAN with min/max spread reported
+    alongside (the relay tunnel adds tens of ms of per-dispatch jitter —
+    the unexplained 33% swing between two rounds' single-shot numbers
+    motivated this; see BASELINE.md)."""
     import optax
 
     from hm_retrieval_tpu.models import (
@@ -195,27 +217,148 @@ def bench_training(
         return st, loss
 
     gen = jax.jit(batches_for)
-    data0 = gen(jax.random.PRNGKey(0))
-    data1 = gen(jax.random.PRNGKey(1))
+    datas = [
+        gen(jax.random.PRNGKey(i)) for i in range(repeats + 1)
+    ]
     # value-fetch sync: through the relay, block_until_ready can return
     # before execution finishes (CLAUDE.md timing note), which would let
     # the timed run below start while this one is still in flight
-    float(jax.tree_util.tree_leaves(data1)[0][0, 0])
+    float(jax.tree_util.tree_leaves(datas[-1])[0][0, 0])
     t0 = time.time()
-    state, loss = run(state, data0)
+    state, loss = run(state, datas[0])
     float(loss)
     first = time.time() - t0
-    t0 = time.time()
-    state, loss = run(state, data1)
-    float(loss)  # host sync
-    dt = time.time() - t0
+    dts = []
+    for data in datas[1:]:
+        t0 = time.time()
+        state, loss = run(state, data)
+        float(loss)  # host sync
+        dts.append(time.time() - t0)
+    dt = float(np.median(dts))
     eps = steps * batch / dt
     return {
         "train_examples_per_s_per_chip": eps,
+        "train_examples_per_s_spread": [
+            steps * batch / max(dts),
+            steps * batch / min(dts),
+        ],
+        "train_repeat_s": dts,
         "train_step_ms": dt / steps * 1e3,
         "train_compile_s": first - dt,
         "train_path": "sparse_adagrad" if sparse else "dense",
         "final_loss": float(loss),
+    }
+
+
+def bench_pipeline_training(
+    steps: int,
+    batch: int,
+    n_customers: int = 1_371_980,
+    n_articles: int = 105_542,
+    emb_dim: int = 128,
+    workdir: str = None,
+):
+    """END-TO-END pipeline-fed training throughput: real shard files ->
+    ShardDataset.iter_batches (threaded reads + buffered shuffle) ->
+    device_feed (background prefetch) -> per-step jitted sparse-Adagrad
+    dispatch. This is the production runner loop
+    (runners/modelling.py:train epoch), so unlike the pure-step scan it
+    pays host decode, per-step dispatch through the relay tunnel, and
+    host->device transfer — SURVEY §7 hard part #6 measured honestly
+    rather than excluded."""
+    import shutil
+    import tempfile
+
+    from hm_retrieval_tpu.data.dataset import ShardDataset
+    from hm_retrieval_tpu.data.device_feed import device_feed
+    from hm_retrieval_tpu.models import OptimizerFactory
+    from hm_retrieval_tpu.models.sparse_optimizer import (
+        create_sparse_train_state,
+        make_sparse_train_step,
+    )
+
+    model, n_customers, n_articles = hm_scale_model(
+        n_customers, n_articles, emb_dim
+    )
+    opt = OptimizerFactory.get_optimizer(
+        "adagrad", {"learning_rate": 0.05}
+    )
+    state = create_sparse_train_state(model, opt, 0)
+    step = make_sparse_train_step(model, opt, 0.05)
+
+    # Write real shard files with the H&M feature layout (int32 ids,
+    # columnar npz + manifest — the ShardWriter format).
+    rows = (steps + 8) * batch  # warmup + timed epoch worth of rows
+    tmp = workdir or tempfile.mkdtemp(prefix="bench_shards_")
+    rng = np.random.default_rng(0)
+    cols = {
+        "customer_id": rng.integers(
+            0, n_customers + 1, rows, dtype=np.int32
+        ),
+        "article_id": rng.integers(
+            0, n_articles + 1, rows, dtype=np.int32
+        ),
+        "product_type_name": rng.integers(
+            0, 131, rows, dtype=np.int32
+        ),
+        "colour_group_name": rng.integers(
+            0, 51, rows, dtype=np.int32
+        ),
+    }
+    max_rows = 100_000
+    num_shards = max(1, -(-rows // max_rows))
+    for s in range(num_shards):
+        lo, hi = s * max_rows, min((s + 1) * max_rows, rows)
+        np.savez(
+            os.path.join(tmp, f"shard_{s:05d}.npz"),
+            **{k: v[lo:hi] for k, v in cols.items()},
+        )
+    with open(os.path.join(tmp, "manifest.json"), "w") as f:
+        json.dump(
+            {
+                "num_rows": rows,
+                "num_shards": num_shards,
+                "max_rows": max_rows,
+                "features": {k: "int32" for k in cols},
+            },
+            f,
+        )
+
+    ds = ShardDataset(tmp)
+
+    def feed(n):
+        it = ds.iter_batches(
+            batch,
+            shuffle_buffer_size=8 * batch,
+            seed=1,
+            drop_remainder=True,
+        )
+        count = 0
+        for b in it:
+            yield b
+            count += 1
+            if count >= n:
+                return
+
+    # warm: compile the per-step function + spin the reader threads
+    loss = None
+    for db in device_feed(feed(4)):
+        state, m = step(state, db)
+        loss = m["loss"]
+    float(loss)
+
+    t0 = time.time()
+    for db in device_feed(feed(steps)):
+        state, m = step(state, db)
+        loss = m["loss"]
+    float(loss)  # one sync at the end: dispatches pipeline through
+    dt = time.time() - t0
+    if workdir is None:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return {
+        "train_pipeline_examples_per_s": steps * batch / dt,
+        "train_pipeline_step_ms": dt / steps * 1e3,
+        "train_pipeline_steps": steps,
     }
 
 
@@ -289,12 +432,16 @@ def bench_retrieval(
 
 
 def bench_quantized(iters: int, B: int, N: int, E: int, K: int,
-                    oversample: int = 2):
+                    oversample: int = 2,
+                    scale_mode: str = "per_row"):
     """Quantized-index retrieval (int8 catalog stream + fp32 rescore of
     the oversampled survivors — the indices/quantized.py production
-    path, measured at the kernel level)."""
+    path, measured at the kernel level). ``scale_mode="global"`` runs
+    the one-shared-scale variant whose kernel drops the per-column
+    dequantization FMA (pallas_quantized_topk_global)."""
     from hm_retrieval_tpu.ops.pallas_retrieval import (
         pallas_quantized_topk,
+        pallas_quantized_topk_global,
     )
 
     c = jax.jit(
@@ -312,7 +459,18 @@ def bench_quantized(iters: int, B: int, N: int, E: int, K: int,
         ).astype(jnp.int8)
         return codes, scales.astype(jnp.float32)
 
-    codes, scales = quantize(c)
+    @jax.jit
+    def quantize_global(c):
+        g = jnp.max(jnp.abs(c)) / 127.0
+        codes = jnp.clip(jnp.rint(c / g), -127, 127).astype(
+            jnp.int8
+        )
+        return codes, g.astype(jnp.float32)
+
+    if scale_mode == "global":
+        codes, scales = quantize_global(c)
+    else:
+        codes, scales = quantize(c)
     q = jax.jit(
         lambda: jax.random.normal(
             jax.random.PRNGKey(0), (B, E), jnp.float32
@@ -325,9 +483,14 @@ def bench_quantized(iters: int, B: int, N: int, E: int, K: int,
     def run(q, c, codes, scales, salt):
         def body(carry, i):
             qq = jnp.roll(q, i + salt, axis=0)
-            v, idx, r = pallas_quantized_topk(
-                qq, codes, scales, k_over, max_rounds=1
-            )
+            if scale_mode == "global":
+                v, idx, r = pallas_quantized_topk_global(
+                    qq, codes, scales, k_over
+                )
+            else:
+                v, idx, r = pallas_quantized_topk(
+                    qq, codes, scales, k_over, max_rounds=1
+                )
             rows = jnp.take(c, idx, axis=0)
             exact = jnp.einsum(
                 "be,bke->bk",
@@ -358,18 +521,32 @@ def bench_quantized(iters: int, B: int, N: int, E: int, K: int,
         "config": {
             "B": B, "N": N, "E": E, "K": K,
             "oversample": oversample, "rescore": True,
+            "scale_mode": scale_mode,
         },
     }
 
 
 def main():
     ap = argparse.ArgumentParser()
-    # 200 on-device steps: enough to amortize the fixed host<->device
-    # sync through the relay tunnel (~30ms), which at 50 steps inflated
-    # the per-step time ~2x (benchmarks/micro_sparse_step.py).
-    ap.add_argument("--steps", type=int, default=200)
+    # 600 on-device steps: at ~0.5ms/step the scan runs ~300ms, an
+    # order of magnitude above the relay tunnel's per-dispatch jitter
+    # (measure_null_roundtrip reports the floor); at 200 steps a 40ms
+    # latency wobble moved the headline 30%+ between rounds.
+    ap.add_argument("--steps", type=int, default=600)
     ap.add_argument("--batch", type=int, default=512)
+    ap.add_argument(
+        "--repeats",
+        type=int,
+        default=3,
+        help="timed-scan repetitions; headline = median",
+    )
     ap.add_argument("--skip-retrieval", action="store_true")
+    ap.add_argument(
+        "--skip-pipeline",
+        action="store_true",
+        help="skip the pipeline-fed (shards -> device_feed -> step) "
+        "training measurement",
+    )
     ap.add_argument(
         "--dense",
         action="store_true",
@@ -384,7 +561,14 @@ def main():
         "--quantized",
         action="store_true",
         help="also measure the int8 quantized index kernels at the "
-        "1M (E=128) and 10M (E=64) catalog points",
+        "10M (E=64) catalog point (per-row AND global scale)",
+    )
+    ap.add_argument(
+        "--full",
+        action="store_true",
+        help="also measure the reference's k=1000 operating point "
+        "(ref main.py:107 serves max(ks)=1000): exact pallas at "
+        "N=131k and quantized at N=1M",
     )
     ap.add_argument(
         "--scale",
@@ -416,12 +600,21 @@ def main():
         "device": str(jax.devices()[0]),
         "backend": jax.default_backend(),
         "scale": args.scale,
+        "null_roundtrip_ms": measure_null_roundtrip() * 1e3,
     }
     details.update(
         bench_training(
-            args.steps, args.batch, sparse=not args.dense, **sizes
+            args.steps,
+            args.batch,
+            sparse=not args.dense,
+            repeats=args.repeats,
+            **sizes,
         )
     )
+    if not args.skip_pipeline and args.scale == "hm":
+        details.update(
+            bench_pipeline_training(200, args.batch)
+        )
     if not args.skip_retrieval:
         details.update(
             bench_retrieval(
@@ -434,9 +627,23 @@ def main():
         details["quantized_1m"] = bench_quantized(
             50, 1024, 1_048_576, 128, 100
         )
+        details["quantized_1m_global"] = bench_quantized(
+            50, 1024, 1_048_576, 128, 100, scale_mode="global"
+        )
+    if args.full:
+        # the reference's own operating point: k = max(ks) = 1000
+        details["retrieval_k1000"] = bench_retrieval(
+            20, 1024, 131072, 128, 1000, method="pallas"
+        )
+        details["quantized_1m_k1000"] = bench_quantized(
+            20, 1024, 1_048_576, 128, 1000
+        )
     if args.quantized:
         details["quantized_10m"] = bench_quantized(
             20, 1024, 10_000_000, 64, 100
+        )
+        details["quantized_10m_global"] = bench_quantized(
+            20, 1024, 10_000_000, 64, 100, scale_mode="global"
         )
 
     with open("bench_results.json", "w") as f:
@@ -453,7 +660,15 @@ def main():
         "vs_baseline": round(
             value / TF_CPU_BASELINE_EXAMPLES_PER_S, 3
         ),
+        "spread": [
+            round(v, 1)
+            for v in details["train_examples_per_s_spread"]
+        ],
     }
+    if "train_pipeline_examples_per_s" in details:
+        line["train_pipeline_examples_per_s"] = round(
+            details["train_pipeline_examples_per_s"], 1
+        )
     if "retrieval_queries_per_s" in details:
         line["retrieval_queries_per_s"] = round(
             details["retrieval_queries_per_s"], 1
@@ -461,10 +676,21 @@ def main():
         line["retrieval_ms_per_batch"] = round(
             details["retrieval_ms_per_batch"], 3
         )
-    for k in ("quantized_1m", "quantized_10m"):
+    for k in (
+        "quantized_1m",
+        "quantized_1m_global",
+        "quantized_10m",
+        "quantized_10m_global",
+        "retrieval_k1000",
+        "quantized_1m_k1000",
+    ):
         if k in details:
             line[f"{k}_queries_per_s"] = round(
-                details[k]["queries_per_s"], 1
+                details[k].get(
+                    "queries_per_s",
+                    details[k].get("retrieval_queries_per_s", 0),
+                ),
+                1,
             )
     print(json.dumps(line))
 
