@@ -433,7 +433,9 @@ def bench_retrieval(
 
 def bench_quantized(iters: int, B: int, N: int, E: int, K: int,
                     oversample: int = 2,
-                    scale_mode: str = "per_row"):
+                    scale_mode: str = "per_row",
+                    L: int = None, q_block: int = None,
+                    fold: int = None):
     """Quantized-index retrieval (int8 catalog stream + fp32 rescore of
     the oversampled survivors — the indices/quantized.py production
     path, measured at the kernel level). ``scale_mode="global"`` runs
@@ -489,7 +491,8 @@ def bench_quantized(iters: int, B: int, N: int, E: int, K: int,
                 )
             else:
                 v, idx, r = pallas_quantized_topk(
-                    qq, codes, scales, k_over, max_rounds=1
+                    qq, codes, scales, k_over, max_rounds=1,
+                    L=L, q_block=q_block, fold=fold,
                 )
             rows = jnp.take(c, idx, axis=0)
             exact = jnp.einsum(
@@ -635,8 +638,13 @@ def main():
         details["retrieval_k1000"] = bench_retrieval(
             20, 1024, 131072, 128, 1000, method="pallas"
         )
+        # tuned k=1000 config (2026-08-21 sweep): oversample=1 with
+        # L=2048 matches os=2's 0.969 recall at 2/3 the cost — at
+        # k'~L the single pass's per-bin top-2 is the recall bound,
+        # not the survivor count, so extra oversample buys nothing
         details["quantized_1m_k1000"] = bench_quantized(
-            20, 1024, 1_048_576, 128, 1000
+            20, 1024, 1_048_576, 128, 1000,
+            oversample=1, L=2048, q_block=128, fold=1,
         )
     if args.quantized:
         details["quantized_10m"] = bench_quantized(

@@ -133,12 +133,14 @@ class QuantizedIndex:
         score distributions).
     scale_mode:
         "per_row" (default): symmetric per-row scales — best survivor
-        accuracy. "global": ONE scale for the whole catalog — raw int
-        scores become order-comparable, so the single-pass pallas
-        engine drops the per-column dequantization FMA from its
-        VPU-bound inner loop (pallas_quantized_topk_global); small-norm
-        rows quantize more coarsely, so pair with ``rescore`` unless
-        the catalog's row norms are uniform.
+        accuracy AND measured speed. "global": ONE scale for the whole
+        catalog — raw int scores become order-comparable, so the
+        single-pass pallas engine drops the per-column dequantization
+        FMA (pallas_quantized_topk_global). Measured on v5e this buys
+        NOTHING (the FMA rides the matmul epilogue; BASELINE.md round-4
+        "rejected" section) and small-norm rows quantize more coarsely
+        — use only when a single scale is semantically required, and
+        pair with ``rescore``.
     """
 
     PAD_MULTIPLE = 1024

@@ -1399,13 +1399,17 @@ def pallas_quantized_topk_global(
                 tail.astype(compute_dtype).T,
                 preferred_element_type=jnp.float32,
             )  # (B_blk, T) raw, same scale as the kernel maxima
-            vals_parts.append(ts)
-            idx_parts.append(
-                jnp.broadcast_to(
-                    n_full + jnp.arange(T, dtype=jnp.int32)[None, :],
-                    ts.shape,
-                )
+            ti = jnp.broadcast_to(
+                n_full + jnp.arange(T, dtype=jnp.int32)[None, :],
+                ts.shape,
             )
+            if T > k:
+                # pre-reduce the tail to its exact top-k so the final
+                # merge stays O(2L + k) wide, not O(2L + chunk_cols)
+                ts, sel = lax.top_k(ts, k)
+                ti = jnp.take_along_axis(ti, sel, axis=1)
+            vals_parts.append(ts)
+            idx_parts.append(ti)
         vals = jnp.concatenate(vals_parts, axis=1)
         ids = jnp.concatenate(idx_parts, axis=1)
         v, sel = lax.top_k(vals, k)
