@@ -257,6 +257,7 @@ def bench_pipeline_training(
     n_articles: int = 105_542,
     emb_dim: int = 128,
     workdir: str = None,
+    steps_per_dispatch: int = 1,
 ):
     """END-TO-END pipeline-fed training throughput: real shard files ->
     ShardDataset.iter_batches (threaded reads + buffered shuffle) ->
@@ -340,25 +341,58 @@ def bench_pipeline_training(
             if count >= n:
                 return
 
-    # warm: compile the per-step function + spin the reader threads
-    loss = None
-    for db in device_feed(feed(4)):
-        state, m = step(state, db)
-        loss = m["loss"]
-    float(loss)
+    spd = steps_per_dispatch
+    if spd > 1:
+        # chunked dispatch: K steps per device round trip — the
+        # TrainingConfig.steps_per_dispatch lever, identical numerics
+        from hm_retrieval_tpu.data.device_feed import (
+            device_feed_chunked,
+            make_chunked_train_step,
+        )
 
+        chunk_fn = make_chunked_train_step(step)
+
+        def run_steps(n):
+            loss = None
+            for chunk in device_feed_chunked(feed(n), spd):
+                nonlocal_state["state"], m = chunk_fn(
+                    nonlocal_state["state"], chunk
+                )
+                loss = m["loss"]
+            return loss
+
+    else:
+
+        def run_steps(n):
+            loss = None
+            for db in device_feed(feed(n)):
+                nonlocal_state["state"], m = step(
+                    nonlocal_state["state"], db
+                )
+                loss = m["loss"]
+            return loss
+
+    nonlocal_state = {"state": state}
+    # warm: compile + spin the reader threads
+    float(run_steps(4 * spd))
     t0 = time.time()
-    for db in device_feed(feed(steps)):
-        state, m = step(state, db)
-        loss = m["loss"]
-    float(loss)  # one sync at the end: dispatches pipeline through
+    float(run_steps(steps))  # one sync at the end: dispatches pipeline
     dt = time.time() - t0
+    eff_steps = (steps // spd) * spd
     if workdir is None:
         shutil.rmtree(tmp, ignore_errors=True)
+    key = (
+        "train_pipeline_chunked"
+        if spd > 1
+        else "train_pipeline"
+    )
     return {
-        "train_pipeline_examples_per_s": steps * batch / dt,
-        "train_pipeline_step_ms": dt / steps * 1e3,
-        "train_pipeline_steps": steps,
+        f"{key}_examples_per_s": eff_steps * batch / dt,
+        f"{key}_step_ms": dt / eff_steps * 1e3,
+        f"{key}_steps": eff_steps,
+        **(
+            {f"{key}_steps_per_dispatch": spd} if spd > 1 else {}
+        ),
     }
 
 
@@ -618,6 +652,15 @@ def main():
         details.update(
             bench_pipeline_training(200, args.batch)
         )
+        # chunked dispatch (TrainingConfig.steps_per_dispatch): 64
+        # steps per round trip measured best through the relay (16:
+        # 634k ex/s, 64: 899k — overhead/dispatch grows with the
+        # stacked transfer, diminishing returns past ~64)
+        details.update(
+            bench_pipeline_training(
+                256, args.batch, steps_per_dispatch=64
+            )
+        )
     if not args.skip_retrieval:
         details.update(
             bench_retrieval(
@@ -673,10 +716,12 @@ def main():
             for v in details["train_examples_per_s_spread"]
         ],
     }
-    if "train_pipeline_examples_per_s" in details:
-        line["train_pipeline_examples_per_s"] = round(
-            details["train_pipeline_examples_per_s"], 1
-        )
+    for pk in (
+        "train_pipeline_examples_per_s",
+        "train_pipeline_chunked_examples_per_s",
+    ):
+        if pk in details:
+            line[pk] = round(details[pk], 1)
     if "retrieval_queries_per_s" in details:
         line["retrieval_queries_per_s"] = round(
             details["retrieval_queries_per_s"], 1

@@ -72,3 +72,131 @@ def device_feed(
         yield put(item)
     if err:
         raise err[0]
+
+
+def chunk_batches(
+    batches: Iterator[Batch], k: int
+) -> Iterator[Batch]:
+    """Stack ``k`` consecutive host batches into one
+    ``{feature: (k, B, ...)}`` super-batch (ragged tails dropped — pair
+    with ``drop_remainder`` batch iteration). Feeds
+    ``make_chunked_train_step``: one host->device transfer and ONE
+    dispatch run ``k`` train steps, amortizing the dispatch path when
+    it is slow relative to the step (measured 10x on the relay-proxied
+    chip, BASELINE.md pipeline-fed section)."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    stack = []
+    for b in batches:
+        stack.append(b)
+        if len(stack) == k:
+            yield {
+                key: np.stack([s[key] for s in stack])
+                for key in stack[0]
+            }
+            stack = []
+
+
+def chunk_sharding(mesh):
+    """Sharding for stacked ``(k, B, ...)`` super-batches: rows split
+    over the data axis (axis 1 — axis 0 is the scan/step axis)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from hm_retrieval_tpu.parallel.mesh import DATA_AXIS
+
+    return NamedSharding(mesh, P(None, DATA_AXIS))
+
+
+def device_feed_chunked(
+    batches: Iterator[Batch],
+    k: int,
+    mesh=None,
+    prefetch: int = 2,
+) -> Iterator[Dict[str, jax.Array]]:
+    """``device_feed`` over ``chunk_batches``: yields device-resident
+    ``(k, B, ...)`` super-batches (sharded P(None, "data") on a mesh).
+    Multi-host: each process supplies its local (k, B/P) rows, assembled
+    per step-slice like ``shard_batch``."""
+    chunks = chunk_batches(batches, k)
+    if mesh is None:
+        for c in device_feed(chunks, mesh=None, prefetch=prefetch):
+            yield c
+        return
+    sharding = chunk_sharding(mesh)
+
+    def put(b):
+        if jax.process_count() == 1:
+            return {
+                key: jax.device_put(np.asarray(v), sharding)
+                for key, v in b.items()
+            }
+        return {
+            key: jax.make_array_from_process_local_data(
+                sharding, np.asarray(v)
+            )
+            for key, v in b.items()
+        }
+
+    # host-side chunk assembly runs in the prefetch thread; placement
+    # (device_put) stays on the consumer thread (see device_feed's
+    # threading note)
+    for c in _prefetch_host(chunks, prefetch):
+        yield put(c)
+
+
+def _prefetch_host(
+    batches: Iterator[Batch], prefetch: int
+) -> Iterator[Batch]:
+    """Background-thread host prefetch (the device_feed worker without
+    the placement step)."""
+    if prefetch <= 0:
+        yield from batches
+        return
+    q: "queue.Queue" = queue.Queue(maxsize=prefetch)
+    _END = object()
+    err: list = []
+
+    def worker():
+        try:
+            for b in batches:
+                q.put(b)
+        except Exception as e:
+            err.append(e)
+        finally:
+            q.put(_END)
+
+    t = threading.Thread(target=worker, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is _END:
+            break
+        yield item
+    if err:
+        raise err[0]
+
+
+def make_chunked_train_step(step_fn):
+    """Wrap a ``(state, batch) -> (state, {"loss": ...})`` train step
+    into ``(state, stacked) -> (state, metrics)`` running
+    ``stacked.shape[0]`` steps in ONE dispatch via ``lax.scan``.
+    Numerics are identical to calling ``step_fn`` per batch in order
+    (the scan body inlines the step); metrics carry the per-step loss
+    trace plus its mean."""
+    import jax.numpy as jnp
+    from jax import lax
+
+    @jax.jit
+    def chunk_step(state, stacked):
+        def body(st, batch):
+            st, m = step_fn(st, batch)
+            return st, m["loss"]
+
+        state, losses = lax.scan(body, state, stacked)
+        return state, {
+            "loss": losses[-1],
+            "loss_mean": jnp.mean(losses),
+            "losses": losses,
+        }
+
+    return chunk_step

@@ -637,17 +637,48 @@ def modelling_runner(
                 import itertools
 
                 batches = itertools.islice(batches, n_steps)
-            for dev_batch in device_feed(batches, mesh=mesh):
-                state, metrics = step_fn(state, dev_batch)
-                global_step += 1
-                profiler.on_step(global_step)
-                if global_step % 100 == 0:
-                    loss = float(metrics["loss"])
-                    writer.add_scalar("train/loss", loss, global_step)
-                    logger.info(
-                        "step %d | loss %.4f", global_step, loss
-                    )
-                examples += tc.train_batch_size
+            spd = tc.steps_per_dispatch
+            if spd > 1:
+                # chunked dispatch: K steps per device round trip
+                # (identical numerics/batch order; the lever for slow
+                # dispatch paths — BASELINE.md pipeline-fed section).
+                # K-step tails that don't fill a chunk are dropped,
+                # matching drop_remainder semantics one level up.
+                from hm_retrieval_tpu.data.device_feed import (
+                    device_feed_chunked,
+                    make_chunked_train_step,
+                )
+
+                chunk_fn = make_chunked_train_step(step_fn)
+                for dev_chunk in device_feed_chunked(
+                    batches, spd, mesh=mesh
+                ):
+                    state, metrics = chunk_fn(state, dev_chunk)
+                    global_step += spd
+                    profiler.on_step(global_step)
+                    if global_step % 100 < spd:
+                        loss = float(metrics["loss"])
+                        writer.add_scalar(
+                            "train/loss", loss, global_step
+                        )
+                        logger.info(
+                            "step %d | loss %.4f", global_step, loss
+                        )
+                    examples += tc.train_batch_size * spd
+            else:
+                for dev_batch in device_feed(batches, mesh=mesh):
+                    state, metrics = step_fn(state, dev_batch)
+                    global_step += 1
+                    profiler.on_step(global_step)
+                    if global_step % 100 == 0:
+                        loss = float(metrics["loss"])
+                        writer.add_scalar(
+                            "train/loss", loss, global_step
+                        )
+                        logger.info(
+                            "step %d | loss %.4f", global_step, loss
+                        )
+                    examples += tc.train_batch_size
             jax.block_until_ready(state.params)
             t_train += time.time() - t0
 

@@ -41,6 +41,16 @@ class TrainingConfig:
     # or mixed negatives are on. Under a mesh the data-parallel sparse
     # step (parallel/sparse_data_parallel.py) is used.
     use_sparse_embedding_optimizer: bool = True
+    # Train steps executed per device dispatch: K host batches are
+    # stacked, transferred once, and run through a lax.scan of K steps
+    # (data/device_feed.py::chunk_batches + runners/modelling.py).
+    # 1 = one dispatch per step (reference-equivalent). Raise when the
+    # host->device dispatch path is slow relative to the step — e.g.
+    # remote/proxied accelerators, where per-step dispatch measured 10x
+    # the on-device step cost (BASELINE.md pipeline-fed section).
+    # Numerics are EXACTLY the per-step loop's (same batches in the
+    # same order); only logging granularity changes.
+    steps_per_dispatch: int = 1
     seed: int = 0
 
     # --- distributed knobs (new; no reference analog) ---
@@ -61,6 +71,8 @@ class TrainingConfig:
     def __post_init__(self):
         if self.train_batch_size <= 0 or self.test_batch_size <= 0:
             raise ValueError("batch sizes must be positive")
+        if self.steps_per_dispatch < 1:
+            raise ValueError("steps_per_dispatch must be >= 1")
         if "learning_rate" not in self.optimizer_kwargs:
             raise ValueError(
                 "optimizer_kwargs must include learning_rate "
@@ -81,6 +93,7 @@ class TrainingConfig:
             "use_sparse_embedding_optimizer": (
                 self.use_sparse_embedding_optimizer
             ),
+            "steps_per_dispatch": self.steps_per_dispatch,
             "seed": self.seed,
             "mesh_data_axis": self.mesh_data_axis,
             "global_batch_negatives": self.global_batch_negatives,
