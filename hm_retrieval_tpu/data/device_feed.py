@@ -45,41 +45,18 @@ def device_feed(
             {k: np.asarray(v) for k, v in b.items()}, mesh
         )
 
-    if prefetch <= 0:
-        for b in batches:
-            yield put(b)
-        return
-
-    q: "queue.Queue" = queue.Queue(maxsize=prefetch)
-    _END = object()
-    err: list = []
-
-    def worker():
-        try:
-            for b in batches:
-                q.put({k: np.asarray(v) for k, v in b.items()})
-        except Exception as e:  # surface in consumer
-            err.append(e)
-        finally:
-            q.put(_END)
-
-    t = threading.Thread(target=worker, daemon=True)
-    t.start()
-    while True:
-        item = q.get()
-        if item is _END:
-            break
-        yield put(item)
-    if err:
-        raise err[0]
+    for b in _prefetch_host(batches, prefetch):
+        yield put(b)
 
 
 def chunk_batches(
     batches: Iterator[Batch], k: int
 ) -> Iterator[Batch]:
     """Stack ``k`` consecutive host batches into one
-    ``{feature: (k, B, ...)}`` super-batch (ragged tails dropped — pair
-    with ``drop_remainder`` batch iteration). Feeds
+    ``{feature: (k, B, ...)}`` super-batch. A RAGGED TAIL (fewer than
+    ``k`` trailing batches) IS DROPPED, like ``drop_remainder`` one
+    level up — a warning is logged so short epochs (< k batches, which
+    would otherwise train zero steps) are never silent. Feeds
     ``make_chunked_train_step``: one host->device transfer and ONE
     dispatch run ``k`` train steps, amortizing the dispatch path when
     it is slow relative to the step (measured 10x on the relay-proxied
@@ -95,6 +72,17 @@ def chunk_batches(
                 for key in stack[0]
             }
             stack = []
+    if stack:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "chunk_batches dropped a ragged tail of %d batch(es) "
+            "(< steps_per_dispatch=%d); lower steps_per_dispatch or "
+            "provide a step count divisible by it to train on every "
+            "batch",
+            len(stack),
+            k,
+        )
 
 
 def chunk_sharding(mesh):

@@ -26,12 +26,28 @@ _SHARD_RE = re.compile(r"index_shard_(\d+)\.npz$")
 
 
 def shard_paths(dirpath: str) -> List[str]:
-    """Sharded-artifact files in shard order (empty if none)."""
-    paths = glob.glob(os.path.join(dirpath, SHARD_PATTERN))
-    return sorted(
-        paths,
-        key=lambda p: int(_SHARD_RE.search(p).group(1)),
-    )
+    """Sharded-artifact files in shard order (empty if none). Files
+    matching the glob but not the numeric naming (stray backups like
+    ``index_shard_old.npz``) are skipped with a warning instead of
+    crashing every loader."""
+    import logging
+
+    matched, skipped = [], []
+    for p in glob.glob(os.path.join(dirpath, SHARD_PATTERN)):
+        m = _SHARD_RE.search(p)
+        (matched if m else skipped).append((p, m))
+    if skipped:
+        logging.getLogger(__name__).warning(
+            "ignoring non-shard files in %s: %s",
+            dirpath,
+            [os.path.basename(p) for p, _ in skipped],
+        )
+    return [
+        p
+        for p, _ in sorted(
+            matched, key=lambda pm: int(pm[1].group(1))
+        )
+    ]
 
 
 def shard_file(dirpath: str, s: int) -> str:

@@ -229,6 +229,13 @@ def place_catalog_rows(
         )
     if fill:
         finalize(s_cur, fill)
+        s_cur += 1
+    while s_cur < S:
+        # trailing shards with ZERO real rows (ceil rounding can leave
+        # them when N < (S-1)*per + per): still need their all-pad
+        # device arrays or the global assembly below is incomplete
+        finalize(s_cur, 0)
+        s_cur += 1
 
     if stats is not None:
         stats["peak_host_bytes"] = peak
@@ -282,13 +289,15 @@ def collect_catalog_sharded(
         )
     if dim is None:
         # probe the embedding width with one padded forward of the
-        # first batch (re-embedded later only if its rows are owned)
-        batches = iter_or_list = (
-            batches if isinstance(batches, list) else list(batches)
-        )
-        if not iter_or_list:
+        # first batch, peeked without materializing the rest (the
+        # block is re-embedded later only if its rows are owned)
+        import itertools
+
+        it = iter(batches)
+        first = next(it, None)
+        if first is None:
             raise ValueError("no candidate batches")
-        first = iter_or_list[0]
+        batches = itertools.chain([first], it)
         n0 = len(first[candidate_id_col])
         dim = int(
             np.asarray(

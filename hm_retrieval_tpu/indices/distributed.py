@@ -126,11 +126,15 @@ def _write_sharded_artifact(
             },
         )
     if pi == 0:
+        dim = next(
+            int(a.shape[1]) for a in arrays.values() if a.ndim == 2
+        )
         meta = dict(
             meta,
             sharded_artifact=True,
             num_shards=S,
             num_candidates=int(num_candidates),
+            dim=dim,
         )
         with open(os.path.join(dirpath, "meta.json"), "w") as f:
             json.dump(meta, f)
@@ -158,12 +162,16 @@ def _load_sharded_placed(
         n = sum(
             len(a["identifiers"]) for a in iter_shard_arrays(dirpath)
         )
-    first = next(iter_shard_arrays(dirpath))
-    dim = (
-        first["embeddings"]
-        if "embeddings" in first
-        else first["codes"]
-    ).shape[1]
+    dim = meta.get("dim")
+    if dim is None:
+        # legacy artifact without the dim key: probe the first shard
+        # (costs one redundant shard read)
+        first = next(iter_shard_arrays(dirpath))
+        dim = (
+            first["embeddings"]
+            if "embeddings" in first
+            else first["codes"]
+        ).shape[1]
     return (
         *place_catalog_rows(
             _shard_arrays_to_blocks(dirpath),

@@ -164,9 +164,11 @@ def make_sharded_lookup(
             .set(gathered)
         )
         out = jnp.take(uout, inv, axis=0)      # back to batch order
+        # poison multiplier in the TABLE dtype: a float32 scalar would
+        # silently promote bf16 lookups to float32
         return out * jnp.where(
-            overflow, jnp.float32(jnp.nan), jnp.float32(1.0)
-        )
+            overflow, jnp.nan, 1.0
+        ).astype(out.dtype)
 
     fn = local_psum if strategy == "psum" else local_all_to_all
     # ids are sharded over the data axis (each data shard looks up its own

@@ -48,8 +48,11 @@ class TrainingConfig:
     # host->device dispatch path is slow relative to the step — e.g.
     # remote/proxied accelerators, where per-step dispatch measured 10x
     # the on-device step cost (BASELINE.md pipeline-fed section).
-    # Numerics are EXACTLY the per-step loop's (same batches in the
-    # same order); only logging granularity changes.
+    # Numerics are exactly the per-step loop's FOR THE STEPS THAT RUN
+    # (same batches, same order), but each epoch's ragged tail of
+    # fewer than K batches is DROPPED like drop_remainder (a warning
+    # is logged; an epoch with < K batches trains zero steps) — keep K
+    # well below the per-epoch step count.
     steps_per_dispatch: int = 1
     seed: int = 0
 

@@ -30,7 +30,10 @@ class StepProfiler:
         if self.window is None:
             return
         start, stop = self.window
-        if step == start and not self._active:
+        # >= not ==: callers may observe steps at a stride (chunked
+        # dispatch advances global_step by steps_per_dispatch), so an
+        # equality test could skip straight past the window start
+        if start <= step < stop and not self._active:
             logger.info(
                 "Starting profiler trace (steps %d..%d) -> %s",
                 start,

@@ -331,6 +331,66 @@ class TestShardedStreamingBuild:
         assert stats["peak_host_bytes"] < full_catalog // 2
         assert stats["peak_host_bytes"] < 8 * per * emb.shape[1] * 4
 
+    def test_tiny_catalog_with_empty_trailing_shards(self):
+        """N small enough that ceil rounding leaves trailing model
+        shards with ZERO rows (N=10, S=8 -> per=2, shards 5..7 empty):
+        the build must still finalize every shard's device arrays, the
+        index must never surface pad rows, and the sharded artifact
+        must round-trip — including onto a mesh with more shards than
+        the catalog fills."""
+        rng = np.random.default_rng(3)
+        N, E, k = 10, 16, 4
+        emb = rng.normal(size=(N, E)).astype(np.float32)
+        ids = np.arange(1, N + 1, dtype=np.int32)
+        q = rng.normal(size=(4, E)).astype(np.float32)
+        mesh = make_mesh(data=1, model=8)
+        built = DistributedQuantizedIndex.build_from_batches(
+            k,
+            "article_id",
+            _embed_fn_for(ids, emb),
+            _batches_of(ids, 4),
+            4,
+            mesh=mesh,
+            num_candidates=N,
+            dim=E,
+            method="scan",
+        )
+        ref = QuantizedIndex(k, ids, emb, method="scan")
+        _, i_b = built.topk_from_embeddings(jnp.asarray(q))
+        _, i_r = ref.topk_from_embeddings(jnp.asarray(q))
+        np.testing.assert_array_equal(np.asarray(i_b), np.asarray(i_r))
+        assert np.asarray(i_b).max() <= N  # ids 1..N only
+
+    def test_sharded_artifact_load_onto_wider_mesh(
+        self, tmp_path
+    ):
+        """A 12-row sharded artifact (written on model=4) loads onto a
+        model=8 mesh whose trailing shards are pure padding."""
+        rng = np.random.default_rng(4)
+        N, E, k = 12, 8, 3
+        emb = rng.normal(size=(N, E)).astype(np.float32)
+        ids = np.arange(1, N + 1, dtype=np.int32)
+        q = rng.normal(size=(4, E)).astype(np.float32)
+        mesh4 = make_mesh(data=2, model=4)
+        built = DistributedQuantizedIndex.build_from_batches(
+            k,
+            "article_id",
+            _embed_fn_for(ids, emb),
+            _batches_of(ids, 4),
+            4,
+            mesh=mesh4,
+            num_candidates=N,
+            dim=E,
+            method="scan",
+        )
+        d = str(tmp_path / "tiny")
+        built.save(d)
+        _, i_ref = built.topk_from_embeddings(jnp.asarray(q))
+        mesh8 = make_mesh(data=1, model=8)
+        wide = load_distributed_index(d, mesh8, method="scan")
+        _, i_w = wide.topk_from_embeddings(jnp.asarray(q))
+        np.testing.assert_array_equal(np.asarray(i_w), np.asarray(i_ref))
+
     def test_counts_rows_when_num_candidates_absent(self, catalog):
         ids, emb, q = catalog
         mesh = make_mesh(data=2, model=4)
