@@ -563,6 +563,169 @@ def bench_quantized(iters: int, B: int, N: int, E: int, K: int,
     }
 
 
+def bench_training_distributed(
+    steps: int,
+    batch_per_chip: int,
+    n_customers: int = 1_371_980,
+    n_articles: int = 105_542,
+    emb_dim: int = 128,
+    repeats: int = 3,
+):
+    """DP sparse-Adagrad training over EVERY local device (mesh data
+    axis; global batch = batch_per_chip * n_devices). On one chip this
+    reduces to the single-chip path (mesh overhead included); on a
+    slice the SAME command measures scaling efficiency — the
+    BASELINE.md blocked-table claim that multi-chip needs no code
+    changes, kept true by running this mode every round."""
+    from hm_retrieval_tpu.data.device_feed import (
+        chunk_sharding,
+        make_chunked_train_step,
+    )
+    from hm_retrieval_tpu.models import OptimizerFactory
+    from hm_retrieval_tpu.models.sparse_optimizer import (
+        create_sparse_train_state,
+    )
+    from hm_retrieval_tpu.parallel import (
+        make_dp_sparse_train_step,
+        make_mesh,
+        replicate_sparse_state,
+    )
+
+    n_dev = len(jax.devices())
+    mesh = make_mesh()
+    B = batch_per_chip * n_dev
+    model, n_customers, n_articles = hm_scale_model(
+        n_customers, n_articles, emb_dim
+    )
+    opt = OptimizerFactory.get_optimizer(
+        "adagrad", {"learning_rate": 0.05}
+    )
+    state = replicate_sparse_state(
+        create_sparse_train_state(model, opt, 0), mesh
+    )
+    step = make_dp_sparse_train_step(model, opt, 0.05, mesh)
+    # the chunked step IS a scan over the dp step — reuse it as the
+    # on-device timing loop (stacked batches sharded P(None, "data"))
+    chunk_fn = make_chunked_train_step(step)
+    sharding = chunk_sharding(mesh)
+
+    def batches_for(key):
+        kc, ka, kp, kcol = jax.random.split(key, 4)
+        shp = (steps, B)
+        return {
+            "customer_id": jax.random.randint(
+                kc, shp, 0, n_customers + 1, dtype=jnp.int32
+            ),
+            "article_id": jax.random.randint(
+                ka, shp, 0, n_articles + 1, dtype=jnp.int32
+            ),
+            "product_type_name": jax.random.randint(
+                kp, shp, 0, 131, dtype=jnp.int32
+            ),
+            "colour_group_name": jax.random.randint(
+                kcol, shp, 0, 51, dtype=jnp.int32
+            ),
+        }
+
+    gen = jax.jit(batches_for, out_shardings=sharding)
+    datas = [
+        gen(jax.random.PRNGKey(i)) for i in range(repeats + 1)
+    ]
+    float(jax.tree_util.tree_leaves(datas[-1])[0][0, 0])
+    state, m = chunk_fn(state, datas[0])
+    float(m["loss"])  # compile + warm
+    dts = []
+    for data in datas[1:]:
+        t0 = time.time()
+        state, m = chunk_fn(state, data)
+        float(m["loss"])
+        dts.append(time.time() - t0)
+    dt = float(np.median(dts))
+    total = steps * B / dt
+    return {
+        "dist_train_devices": n_dev,
+        "dist_train_global_batch": B,
+        "dist_train_examples_per_s": total,
+        "dist_train_examples_per_s_per_chip": total / n_dev,
+        "dist_train_step_ms": dt / steps * 1e3,
+    }
+
+
+def bench_retrieval_distributed(
+    iters: int, B: int, N: int, E: int, K: int
+):
+    """Distributed int8 quantized retrieval: catalog row-sharded over
+    the model axis (every local device), per-shard fused survivor
+    selection + fp32 rescore + all-gather merge. The catalog is
+    synthesized DIRECTLY INTO its sharded placement on device. One chip
+    = model axis of 1 (collective overhead included); a slice measures
+    scaling with the same command."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from hm_retrieval_tpu.parallel import make_mesh
+    from hm_retrieval_tpu.parallel.distributed_topk import (
+        make_distributed_quantized_topk,
+    )
+    from hm_retrieval_tpu.parallel.mesh import MODEL_AXIS
+
+    n_dev = len(jax.devices())
+    mesh = make_mesh(data=1, model=n_dev)
+    per = -(-N // n_dev)
+    total = per * n_dev
+    row = NamedSharding(mesh, P(MODEL_AXIS, None))
+    vec = NamedSharding(mesh, P(MODEL_AXIS))
+
+    def make_catalog(key):
+        c = jax.random.normal(key, (total, E), jnp.float32)
+        scales = jnp.max(jnp.abs(c), axis=1) / 127.0
+        scales = jnp.where(scales > 0, scales, 1.0)
+        codes = jnp.clip(
+            jnp.rint(c / scales[:, None]), -127, 127
+        ).astype(jnp.int8)
+        valid = jnp.arange(total) < N
+        bias = jnp.where(valid, 0.0, -jnp.inf).astype(jnp.float32)
+        ids = jnp.arange(total, dtype=jnp.int32)
+        return codes, scales.astype(jnp.float32), c, ids, bias
+
+    codes, scales, emb, ids, bias = jax.jit(
+        make_catalog, out_shardings=(row, vec, row, vec, vec)
+    )(jax.random.PRNGKey(1))
+    q = jax.jit(
+        lambda: jax.random.normal(
+            jax.random.PRNGKey(0), (B, E), jnp.float32
+        )
+    )()
+    jax.block_until_ready((codes, q))
+    fn = make_distributed_quantized_topk(mesh, K, oversample=2)
+
+    @jax.jit
+    def run(q, codes, scales, emb, ids, bias, salt):
+        def body(carry, i):
+            qq = jnp.roll(q, i + salt, axis=0)
+            s, gi = fn(qq, codes, scales, emb, ids, bias)
+            return (
+                carry
+                + jnp.sum(s)
+                + jnp.sum(gi).astype(jnp.float32),
+                None,
+            )
+        acc, _ = jax.lax.scan(body, 0.0, jnp.arange(iters))
+        return acc
+
+    float(run(q, codes, scales, emb, ids, bias, jnp.int32(0)))
+    t0 = time.time()
+    float(run(q, codes, scales, emb, ids, bias, jnp.int32(1)))
+    dt = (time.time() - t0) / iters
+    return {
+        "dist_retrieval_devices": n_dev,
+        "dist_retrieval_queries_per_s": B / dt,
+        "dist_retrieval_ms_per_batch": dt * 1e3,
+        "dist_retrieval_config": {
+            "B": B, "N": N, "E": E, "K": K,
+        },
+    }
+
+
 def main():
     ap = argparse.ArgumentParser()
     # 600 on-device steps: at ~0.5ms/step the scan runs ~300ms, an
@@ -606,6 +769,14 @@ def main():
         help="also measure the reference's k=1000 operating point "
         "(ref main.py:107 serves max(ks)=1000): exact pallas at "
         "N=131k and quantized at N=1M",
+    )
+    ap.add_argument(
+        "--distributed",
+        action="store_true",
+        help="also run the mesh-distributed stages over every local "
+        "device (DP training + row-sharded quantized retrieval); on "
+        "one chip this measures collective overhead, on a slice the "
+        "same command measures scaling efficiency",
     )
     ap.add_argument(
         "--scale",
@@ -688,6 +859,17 @@ def main():
         details["quantized_1m_k1000"] = bench_quantized(
             20, 1024, 1_048_576, 128, 1000,
             oversample=1, L=2048, q_block=128, fold=1,
+        )
+    if args.distributed:
+        details.update(
+            bench_training_distributed(
+                args.steps, args.batch, repeats=args.repeats
+            )
+        )
+        details.update(
+            bench_retrieval_distributed(
+                20, 1024, 1_048_576, 128, 100
+            )
         )
     if args.quantized:
         details["quantized_10m"] = bench_quantized(
