@@ -51,6 +51,14 @@ def _pad_to_multiple(n: int, m: int) -> int:
     return ((n + m - 1) // m) * m
 
 
+def _pallas_feasible(k_eff: int, dim: int) -> bool:
+    """Single-pass (pallas_rounds=1) threshold-free layout at the
+    kernel's smallest fallback block size."""
+    from hm_retrieval_tpu.ops.pallas_retrieval import pick_bins
+
+    return pick_bins(256, dim, k_eff, 2, first_pass=True) is not None
+
+
 def _resolve_method(method: str, k_eff: int, dim: int) -> str:
     """Resolve "auto": pallas on TPU when the survivor count fits a
     feasible bin layout (k_eff <= L within the VMEM budget), else the
@@ -59,12 +67,43 @@ def _resolve_method(method: str, k_eff: int, dim: int) -> str:
         return method
     if jax.default_backend() != "tpu":
         return "scan"
-    from hm_retrieval_tpu.ops.pallas_retrieval import pick_bins
+    return "pallas" if _pallas_feasible(k_eff, dim) else "scan"
 
-    # single-pass (pallas_rounds=1) threshold-free layout at the
-    # kernel's smallest fallback block size
-    feasible = pick_bins(256, dim, k_eff, 2, first_pass=True)
-    return "pallas" if feasible is not None else "scan"
+
+def _auto_survivors(
+    method: str, k: int, k_over: int, rescore: bool, dim: int
+):
+    """Resolve (method, k_over) for "auto". Large requested k_over can
+    make the fused pallas engine infeasible (survivors must fit the
+    bin layout: k_over <= L <= 2048 within VMEM); with a fp32 rescore
+    downstream, SHRINKING the oversampled survivor set to the largest
+    feasible size beats falling back to the ~16x-slower scan — at
+    k'~L the per-bin top-2 bounds recall, not the survivor count
+    (measured at k=1000: k'=1000 == k'=2000 recall, BASELINE.md
+    "k=1000" sweep). Explicit ``method=`` requests are honored
+    literally."""
+    k_eff = k_over if rescore else k
+    resolved = _resolve_method(method, k_eff, dim)
+    if (
+        method == "auto"
+        and resolved == "scan"
+        and rescore
+        and jax.default_backend() == "tpu"
+    ):
+        for cand in sorted(
+            {k_over, 2 * k, k}, reverse=True
+        ):
+            if k <= cand < k_over and _pallas_feasible(cand, dim):
+                logger.info(
+                    "oversampled survivor set %d is infeasible for "
+                    "the pallas engine; shrinking to %d (rescore "
+                    "bounds recall, see BASELINE.md k=1000 sweep) "
+                    "instead of the scan fallback",
+                    k_over,
+                    cand,
+                )
+                return "pallas", cand
+    return resolved, k_over
 
 
 def quantize_rows(embeddings: np.ndarray):
@@ -220,13 +259,14 @@ class QuantizedIndex:
         self.k_over = int(
             min(max(self.oversample * self.k, self.k), self.chunk)
         )
-        k_eff = (
+        self.method, self.k_over = _auto_survivors(
+            method,
+            self.k,
             min(self.k_over, self.num_candidates)
             if self.rescore
-            else self.k
-        )
-        self.method = _resolve_method(
-            method, k_eff, embeddings.shape[1]
+            else self.k_over,
+            self.rescore,
+            embeddings.shape[1],
         )
 
         if scale_mode == "global":

@@ -340,6 +340,43 @@ class TestQuantizedIndex:
                 np.asarray(a), np.asarray(b)
             )
 
+    def test_auto_shrinks_infeasible_survivor_set(self, rng):
+        """Large k with the default oversample would make the pallas
+        survivor set infeasible (k' > max bin count): method='auto'
+        with rescore shrinks k_over to the largest feasible size
+        instead of silently dropping to the ~16x-slower scan
+        (BASELINE.md k=1000 sweep: rescore bounds recall, not the
+        survivor count)."""
+        from unittest import mock
+
+        ids, emb, q = self._data(rng, n=3000, e=16)
+        k = 600  # oversample=4 -> k'=2400 > L_max=2048: infeasible
+        with mock.patch(
+            "jax.default_backend", return_value="tpu"
+        ):
+            idx = QuantizedIndex.__new__(QuantizedIndex)
+            QuantizedIndex.__init__(
+                idx, k, ids, emb, oversample=4, method="auto"
+            )
+        assert idx.method == "pallas"
+        assert idx.k_over == 2 * k  # largest feasible candidate
+        # rescore still exact over the survivors (run via interpret)
+        oracle = BruteForceIndex(k, ids, emb, method="full")
+        _, want = oracle.topk_from_embeddings(jnp.asarray(q))
+        _, got = idx.topk_from_embeddings(jnp.asarray(q))
+        assert (
+            recall_vs_oracle(np.asarray(got), np.asarray(want))
+            >= 0.97
+        )
+
+    def test_explicit_scan_request_honored_at_large_k(self, rng):
+        ids, emb, _ = self._data(rng, n=3000, e=16)
+        idx = QuantizedIndex(
+            600, ids, emb, oversample=4, method="scan"
+        )
+        assert idx.method == "scan"
+        assert idx.k_over == 2400  # literal oversample preserved
+
     def test_load_index_dispatch(self, rng, tmp_path):
         from hm_retrieval_tpu.indices import load_index
 
