@@ -51,7 +51,11 @@ def hm_scale_model(
     n_customers: int = 1_371_980,
     n_articles: int = 105_542,
     emb_dim: int = 128,
+    history_len: int = 0,
+    history_pooling: str = "mean",
 ):
+    """``history_len > 0`` adds a last-N purchase-history SEQUENCE
+    query feature over the article vocab (BASELINE config[3])."""
     from hm_retrieval_tpu.models import TwoTowerModel
     from hm_retrieval_tpu.schema import (
         Feature,
@@ -81,12 +85,41 @@ def hm_scale_model(
     logq = np.zeros(n_articles + 1, np.float32)
     logq[1:] = np.log(probs + 1e-12).astype(np.float32)
 
+    query_features = [
+        SizedFeature(
+            "customer_id", FeatureFamily.QUERY, emb_dim, n_customers
+        ),
+    ]
+    if history_len:
+        from hm_retrieval_tpu.schema import FeatureKind as _FK
+
+        class SizedSeqFeature(SizedFeature):
+            def __init__(self, name, family, emb, V, max_len, pooling):
+                Feature.__init__(
+                    self,
+                    name,
+                    _FK.SEQUENCE,
+                    family,
+                    embedding_size=emb,
+                    vocab=np.array(["x"]),
+                    max_len=max_len,
+                    pooling=pooling,
+                )
+                self._V = V
+
+        query_features.append(
+            SizedSeqFeature(
+                "purchase_history",
+                FeatureFamily.QUERY,
+                emb_dim,
+                n_articles,
+                history_len,
+                history_pooling,
+            )
+        )
+
     model = TwoTowerModel(
-        query_features=[
-            SizedFeature(
-                "customer_id", FeatureFamily.QUERY, emb_dim, n_customers
-            ),
-        ],
+        query_features=query_features,
         candidate_features=[
             SizedFeature(
                 "article_id", FeatureFamily.CANDIDATE, emb_dim, n_articles
@@ -130,6 +163,8 @@ def bench_training(
     n_articles: int = 105_542,
     emb_dim: int = 128,
     repeats: int = 3,
+    history_len: int = 0,
+    history_pooling: str = "mean",
 ):
     """Training throughput. ``sparse=True`` uses the sparse embedding
     Adagrad (models/sparse_optimizer.py — the production path for big
@@ -153,7 +188,11 @@ def bench_training(
     )
 
     model, n_customers, n_articles = hm_scale_model(
-        n_customers, n_articles, emb_dim
+        n_customers,
+        n_articles,
+        emb_dim,
+        history_len=history_len,
+        history_pooling=history_pooling,
     )
     opt = OptimizerFactory.get_optimizer(
         "adagrad", {"learning_rate": 0.05}
@@ -163,9 +202,9 @@ def bench_training(
         """All step batches at once, shaped (steps, batch) per feature —
         generated on device OUTSIDE the timed scan so the measurement is
         the pure train step, not threefry id synthesis."""
-        kc, ka, kp, kcol = jax.random.split(key, 4)
+        kc, ka, kp, kcol, kh = jax.random.split(key, 5)
         shp = (steps, batch)
-        return {
+        out = {
             "customer_id": jax.random.randint(
                 kc, shp, 0, n_customers + 1, dtype=jnp.int32
             ),
@@ -179,6 +218,15 @@ def bench_training(
                 kcol, shp, 0, 51, dtype=jnp.int32
             ),
         }
+        if history_len:
+            out["purchase_history"] = jax.random.randint(
+                kh,
+                (steps, batch, history_len),
+                0,
+                n_articles + 1,
+                dtype=jnp.int32,
+            )
+        return out
 
     if sparse:
         state = create_sparse_train_state(model, opt, 0)
@@ -771,6 +819,13 @@ def main():
         "N=131k and quantized at N=1M",
     )
     ap.add_argument(
+        "--seq",
+        action="store_true",
+        help="also measure the sequence-aware query tower (BASELINE "
+        "config[3]: last-16 purchase history, mean + attention "
+        "pooling) training step",
+    )
+    ap.add_argument(
         "--distributed",
         action="store_true",
         help="also run the mesh-distributed stages over every local "
@@ -860,6 +915,22 @@ def main():
             20, 1024, 1_048_576, 128, 1000,
             oversample=1, L=2048, q_block=128, fold=1,
         )
+    if args.seq and args.scale == "hm":
+        for pooling in ("mean", "attention"):
+            r = bench_training(
+                args.steps,
+                args.batch,
+                repeats=args.repeats,
+                history_len=16,
+                history_pooling=pooling,
+            )
+            details[f"seq_train_{pooling}"] = {
+                "examples_per_s": r[
+                    "train_examples_per_s_per_chip"
+                ],
+                "step_ms": r["train_step_ms"],
+                "spread": r["train_examples_per_s_spread"],
+            }
     if args.distributed:
         details.update(
             bench_training_distributed(

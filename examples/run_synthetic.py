@@ -30,6 +30,13 @@ def main():
     ap.add_argument("--epochs", type=int, default=2)
     ap.add_argument("--batch-size", type=int, default=512)
     ap.add_argument(
+        "--steps-per-dispatch",
+        type=int,
+        default=1,
+        help="train steps per device round trip (K-step lax.scan per "
+        "dispatch; identical numerics, ragged epoch tails dropped)",
+    )
+    ap.add_argument(
         "--with-history",
         action="store_true",
         help="sequence-aware query tower over last-16 purchase "
@@ -206,6 +213,7 @@ def main():
             optimizer_name="adagrad",
             optimizer_kwargs={"learning_rate": 0.05},
             num_uniform_negatives=args.uniform_negatives,
+            steps_per_dispatch=args.steps_per_dispatch,
             sharded_embedding_features=[
                 f for f in args.sharded_features.split(",") if f
             ],
