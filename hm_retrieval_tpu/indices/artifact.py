@@ -62,6 +62,40 @@ def iter_shard_arrays(dirpath: str) -> Iterator[Dict[str, np.ndarray]]:
             yield {k: z[k] for k in z.files}
 
 
+def clear_stale(dirpath: str, keep_shards: int = None) -> None:
+    """Remove artifact files a new save will NOT overwrite, so mixed
+    leftovers from a previous layout can never be read back alongside
+    the new one (a sharded save after a single-file save would leave a
+    stale ``index.npz`` that single-device loaders prefer; a narrower
+    re-shard would leave high-numbered shard files that concatenation
+    would silently append).
+
+    ``keep_shards=None``: a single-file save follows — delete every
+    shard file. ``keep_shards=S``: a sharded save of S files follows —
+    delete ``index.npz`` and shards numbered >= S. Safe to call from
+    the coordinator while other processes write shards < S (disjoint
+    names)."""
+    if not os.path.isdir(dirpath):
+        return
+    doomed = []
+    single = os.path.join(dirpath, INDEX_FILE)
+    if keep_shards is None:
+        doomed = shard_paths(dirpath)
+    else:
+        if os.path.exists(single):
+            doomed.append(single)
+        doomed += [
+            p
+            for p in shard_paths(dirpath)
+            if int(_SHARD_RE.search(p).group(1)) >= keep_shards
+        ]
+    for p in doomed:
+        try:
+            os.unlink(p)
+        except OSError:
+            pass
+
+
 def load_index_arrays(dirpath: str) -> Dict[str, np.ndarray]:
     """The artifact's full arrays, whichever layout is on disk. The
     sharded layout is concatenated here (single-device loads need the

@@ -250,6 +250,11 @@ class BruteForceIndex:
     # ------------------------------------------------------------------
     def save(self, dirpath: str) -> None:
         os.makedirs(dirpath, exist_ok=True)
+        from hm_retrieval_tpu.indices.artifact import (
+            clear_stale,
+        )
+
+        clear_stale(dirpath)  # drop any stale shard files
         np.savez(
             os.path.join(dirpath, "index.npz"),
             identifiers=np.asarray(

@@ -55,6 +55,7 @@ Batch = Dict[str, jax.Array]
 
 from hm_retrieval_tpu.indices.artifact import (  # noqa: E402
     INDEX_FILE,
+    clear_stale,
     iter_shard_arrays,
     shard_file,
     shard_paths,
@@ -110,6 +111,11 @@ def _write_sharded_artifact(
     S = mesh.shape[MODEL_AXIS]
     per = total // S
     pi = jax.process_index()
+    if pi == 0:
+        # a previous save may have left a single-file artifact or MORE
+        # shard files than this mesh writes; either would be read back
+        # alongside/instead of the new shards
+        clear_stale(dirpath, keep_shards=S)
     writers = [
         s
         for s in range(S)
@@ -473,6 +479,7 @@ class DistributedBruteForceIndex(_DistributedIndexBase):
             )
             return
         os.makedirs(dirpath, exist_ok=True)
+        clear_stale(dirpath)  # drop any stale shard files
         np.savez(
             os.path.join(dirpath, "index.npz"),
             identifiers=self._host_identifiers,
@@ -809,6 +816,7 @@ class DistributedQuantizedIndex(_DistributedIndexBase):
         from hm_retrieval_tpu.indices.quantized import quantize_rows
 
         os.makedirs(dirpath, exist_ok=True)
+        clear_stale(dirpath)  # drop any stale shard files
         codes, scales = quantize_rows(self._host_embeddings)
         arrays = {
             "identifiers": self._host_identifiers,

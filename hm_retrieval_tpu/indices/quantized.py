@@ -581,6 +581,11 @@ class QuantizedIndex:
     # ------------------------------------------------------------------
     def save(self, dirpath: str) -> None:
         os.makedirs(dirpath, exist_ok=True)
+        from hm_retrieval_tpu.indices.artifact import (
+            clear_stale,
+        )
+
+        clear_stale(dirpath)  # drop any stale shard files
         arrays = {
             "identifiers": np.asarray(
                 self.identifiers[: self.num_candidates]

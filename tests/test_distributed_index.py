@@ -486,6 +486,88 @@ class TestShardedStreamingBuild:
             np.asarray(i_l), np.asarray(i_ref)
         )
 
+    def test_resave_clears_stale_layouts(self, catalog, tmp_path):
+        """Re-saving into a directory that held a DIFFERENT artifact
+        layout must not leave stale files that loaders would read:
+        sharded-after-single must drop index.npz; a narrower re-shard
+        must drop high-numbered shard files; single-after-sharded must
+        drop every shard file."""
+        import os
+
+        ids, emb, q = catalog
+        k = 10
+        d = str(tmp_path / "swap")
+
+        # 1) single-file save first
+        host = DistributedQuantizedIndex(
+            k,
+            ids,
+            emb,
+            mesh=make_mesh(data=2, model=4),
+            method="scan",
+        )
+        host.save(d)
+        assert os.path.exists(f"{d}/index.npz")
+
+        # 2) sharded save (8 shards) into the same dir
+        mesh8 = make_mesh(data=1, model=8)
+        built8 = DistributedQuantizedIndex.build_from_batches(
+            k,
+            "article_id",
+            _embed_fn_for(ids, emb),
+            _batches_of(ids, 128),
+            128,
+            mesh=mesh8,
+            num_candidates=len(ids),
+            dim=emb.shape[1],
+            method="scan",
+        )
+        built8.save(d)
+        assert not os.path.exists(f"{d}/index.npz")  # stale removed
+        n8 = len(
+            [f for f in os.listdir(d) if f.startswith("index_shard_")]
+        )
+        assert n8 == 8
+        _, i_ref = built8.topk_from_embeddings(jnp.asarray(q))
+        local = load_index(d)
+        assert local.num_candidates == len(ids)
+
+        # 3) narrower re-shard (4 shards): shards 4..7 must vanish
+        mesh4 = make_mesh(data=2, model=4)
+        built4 = DistributedQuantizedIndex.build_from_batches(
+            k,
+            "article_id",
+            _embed_fn_for(ids, emb),
+            _batches_of(ids, 128),
+            128,
+            mesh=mesh4,
+            num_candidates=len(ids),
+            dim=emb.shape[1],
+            method="scan",
+        )
+        built4.save(d)
+        n4 = len(
+            [f for f in os.listdir(d) if f.startswith("index_shard_")]
+        )
+        assert n4 == 4
+        local4 = load_index(d)
+        assert local4.num_candidates == len(ids)  # no concat of stale
+        _, i_l = local4.topk_from_embeddings(jnp.asarray(q))
+        overlap = np.mean(
+            [
+                len(set(a) & set(b)) / k
+                for a, b in zip(np.asarray(i_ref), np.asarray(i_l))
+            ]
+        )
+        assert overlap >= 0.99
+
+        # 4) single-file save again: every shard file must vanish
+        host.save(d)
+        assert os.path.exists(f"{d}/index.npz")
+        assert not [
+            f for f in os.listdir(d) if f.startswith("index_shard_")
+        ]
+
     def test_rescore_false_never_materializes_fp32(
         self, catalog, tmp_path
     ):
