@@ -160,6 +160,25 @@ for dev_batch in device_feed(batches, mesh=mesh):
     state, m = step(state, dev_batch)
     losses.append(float(m["loss"]))
 
+# --- chunked dispatch across the REAL process group: stacked
+# (K, B_local) super-batches assembled per process via
+# make_array_from_process_local_data with P(None, "data") ---
+from hm_retrieval_tpu.data.device_feed import (  # noqa: E402
+    device_feed_chunked,
+    make_chunked_train_step,
+)
+
+chunk_fn = make_chunked_train_step(step)
+ck_batches = itertools.islice(
+    train_ds.iter_batches(32, drop_remainder=True), 4
+)
+chunked_losses = []
+for chunk in device_feed_chunked(ck_batches, 2, mesh=mesh):
+    state, ck_m = chunk_fn(state, chunk)
+    chunked_losses.extend(
+        float(x) for x in list(ck_m["losses"])
+    )
+
 # --- cross-host sharded-sparse training: a data x model mesh whose
 # MODEL axis SPANS processes (row-sharded tables + Adagrad accumulators
 # live across hosts; the lookup psum and update all_gather ride the
@@ -248,6 +267,7 @@ with open(outfile, "w") as f:
                 str(k): v for k, v in local_recalls.items()
             },
             "train_losses": losses,
+            "chunked_losses": chunked_losses,
             "tp_losses": tp_losses,
             "tp_param_digest": param_digest,
             "tp_mesh": [int(x) for x in arr.shape],

@@ -271,6 +271,7 @@ class TestProcessGroupBringup:
             assert r["dist_recalls"] == r0["dist_recalls"]
             assert r["tp_losses"] == r0["tp_losses"]
             assert r["tp_param_digest"] == r0["tp_param_digest"]
+            assert r["chunked_losses"] == r0["chunked_losses"]
         # each rank saw only part of the test set; together, all of it
         full_rows = ShardDataset(
             settings.test_shards_dirpath
@@ -289,6 +290,10 @@ class TestProcessGroupBringup:
         assert r0["dist_recalls"] == oracle_s
         assert all(np.isfinite(r0["train_losses"]))
         assert len(r0["train_losses"]) == 3
+        # chunked dispatch over the real process group: 2 dispatches
+        # of K=2 steps each, per-step loss trace finite + identical
+        assert len(r0["chunked_losses"]) == 4
+        assert all(np.isfinite(r0["chunked_losses"]))
         # cross-host sharded-sparse == single-process sparse Adagrad
         assert r0["tp_mesh"][0] == max(1, nprocs // 2)
         np.testing.assert_allclose(
