@@ -599,6 +599,38 @@ class TestShardedStreamingBuild:
         _, i2 = dist2.topk_from_embeddings(jnp.asarray(q))
         np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
 
+    def test_large_k_oversample_shrinks_per_shard(self):
+        """k x oversample beyond every feasible bin layout must shrink
+        the per-shard survivor set (rescore bounds recall), not crash
+        the pallas engine at dispatch (reference serving k=1000 with
+        the default oversample=4 hit exactly this)."""
+        rng = np.random.default_rng(9)
+        N, E, k = 4000, 16, 600  # os=4 -> k'=2400 > L_max=2048
+        emb = rng.normal(size=(N, E)).astype(np.float32)
+        ids = np.arange(1, N + 1, dtype=np.int32)
+        q = rng.normal(size=(8, E)).astype(np.float32)
+        mesh = make_mesh(data=1, model=8)
+        dist = DistributedQuantizedIndex(
+            k,
+            ids,
+            emb,
+            mesh=mesh,
+            oversample=4,
+            method="pallas",
+            interpret=True,
+        )
+        s, i = dist.topk_from_embeddings(jnp.asarray(q))
+        assert s.shape == (8, k)
+        ref = BruteForceIndex(k, ids, emb, method="full")
+        _, want = ref.topk_from_embeddings(jnp.asarray(q))
+        overlap = np.mean(
+            [
+                len(set(a) & set(b)) / k
+                for a, b in zip(np.asarray(i), np.asarray(want))
+            ]
+        )
+        assert overlap >= 0.95
+
     def test_to_local_of_streamed_build(self, catalog):
         ids, emb, q = catalog
         mesh = make_mesh(data=2, model=4)
