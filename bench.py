@@ -744,7 +744,16 @@ def bench_retrieval_distributed(
         )
     )()
     jax.block_until_ready((codes, q))
-    fn = make_distributed_quantized_topk(mesh, K, oversample=2)
+    fn = make_distributed_quantized_topk(
+        mesh,
+        K,
+        oversample=2,
+        # fused per-shard kernel on real chips (the measured path);
+        # scan keeps the stage runnable on CPU smoke tests
+        method=(
+            "pallas" if jax.default_backend() == "tpu" else "scan"
+        ),
+    )
 
     @jax.jit
     def run(q, codes, scales, emb, ids, bias, salt):
@@ -915,7 +924,9 @@ def main():
             20, 1024, 1_048_576, 128, 1000,
             oversample=1, L=2048, q_block=128, fold=1,
         )
-    if args.seq and args.scale == "hm":
+    if args.seq and args.scale != "hm":
+        ap.error("--seq measures the H&M-scale tower; use --scale hm")
+    if args.seq:
         for pooling in ("mean", "attention"):
             r = bench_training(
                 args.steps,

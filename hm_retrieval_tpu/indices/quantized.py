@@ -70,35 +70,46 @@ def _resolve_method(method: str, k_eff: int, dim: int) -> str:
     return "pallas" if _pallas_feasible(k_eff, dim) else "scan"
 
 
+def shrink_survivors(k_floor: int, k_over: int, dim: int) -> int:
+    """Largest pallas-feasible survivor count obtained by halving
+    ``k_over`` toward ``k_floor`` (the SHARED shrink policy for the
+    single-device and distributed quantized paths — one deterministic
+    rule so the same configuration selects the same survivor count
+    everywhere). Returns ``k_over`` unchanged when already feasible,
+    ``k_floor`` when nothing larger is."""
+    while k_over > k_floor and not _pallas_feasible(k_over, dim):
+        k_over = max(k_floor, k_over // 2)
+    return k_over
+
+
 def _auto_survivors(
     method: str, k: int, k_over: int, rescore: bool, dim: int
 ):
-    """Resolve (method, k_over) for "auto". Large requested k_over can
-    make the fused pallas engine infeasible (survivors must fit the
-    bin layout: k_over <= L <= 2048 within VMEM); with a fp32 rescore
-    downstream, SHRINKING the oversampled survivor set to the largest
-    feasible size beats falling back to the ~16x-slower scan — at
-    k'~L the per-bin top-2 bounds recall, not the survivor count
-    (measured at k=1000: k'=1000 == k'=2000 recall, BASELINE.md
-    "k=1000" sweep). Explicit ``method=`` requests are honored
-    literally."""
+    """Resolve (method, k_over). Large requested k_over can make the
+    fused pallas engine infeasible (survivors must fit the bin layout:
+    k_over <= L <= 2048 within VMEM); with a fp32 rescore downstream,
+    SHRINKING the oversampled survivor set to the largest feasible
+    size beats both failing and the ~16x-slower scan — at k'~L the
+    per-bin top-2 bounds recall, not the survivor count (measured at
+    k=1000: k'=1000 == k'=2000 recall, BASELINE.md "k=1000" sweep).
+    The shrink applies to method="auto" (instead of the scan fallback)
+    AND to an explicit method="pallas" (which would otherwise raise on
+    the first query — and a saved auto-shrunk index reloads with the
+    resolved 'pallas' recorded in its meta, so the reload must
+    re-shrink identically). Explicit method="scan" keeps the literal
+    oversample."""
     k_eff = k_over if rescore else k
     resolved = _resolve_method(method, k_eff, dim)
-    if (
-        method == "auto"
-        and resolved == "scan"
-        and rescore
-        and jax.default_backend() == "tpu"
-    ):
-        for cand in sorted(
-            {k_over, 2 * k, k}, reverse=True
+    if rescore and not _pallas_feasible(k_over, dim):
+        if resolved == "pallas" or (
+            method == "auto" and jax.default_backend() == "tpu"
         ):
-            if k <= cand < k_over and _pallas_feasible(cand, dim):
+            cand = shrink_survivors(k, k_over, dim)
+            if cand < k_over and _pallas_feasible(cand, dim):
                 logger.info(
                     "oversampled survivor set %d is infeasible for "
                     "the pallas engine; shrinking to %d (rescore "
-                    "bounds recall, see BASELINE.md k=1000 sweep) "
-                    "instead of the scan fallback",
+                    "bounds recall, see BASELINE.md k=1000 sweep)",
                     k_over,
                     cand,
                 )

@@ -228,24 +228,25 @@ def make_distributed_quantized_topk(
 
         q = queries.astype(jnp.float32)
         if method == "pallas":
+            from hm_retrieval_tpu.indices.quantized import (
+                shrink_survivors,
+            )
             from hm_retrieval_tpu.ops.pallas_retrieval import (
                 pallas_quantized_topk,
-                pick_bins,
             )
 
-            if emb_shard is not None:
-                # large k x oversample can exceed every feasible bin
-                # layout (survivors must fit k_over <= L <= 2048 within
-                # VMEM); with the fp32 rescore downstream, shrink the
-                # per-shard survivor set instead of failing — the
-                # per-bin top-2 bounds recall at k'~L, not the survivor
-                # count (BASELINE.md k=1000 sweep). All static python:
-                # resolved once at trace time, identical on every shard.
-                E = codes_shard.shape[1]
-                while k_over > kk and pick_bins(
-                    256, E, k_over, 2, first_pass=True
-                ) is None:
-                    k_over = max(kk, k_over // 2)
+            # large k x oversample can exceed every feasible bin
+            # layout (survivors must fit k_over <= L <= 2048 within
+            # VMEM): shrink the per-shard survivor set instead of
+            # failing. With the fp32 rescore the per-bin top-2 bounds
+            # recall at k'~L, not the survivor count (BASELINE.md
+            # k=1000 sweep); WITHOUT it the output is truncated to kk
+            # anyway, so shrinking is output-preserving. Shared policy
+            # with the single-device index (quantized.py); all static
+            # python — resolved once at trace time, identical shards.
+            k_over = shrink_survivors(
+                kk, k_over, codes_shard.shape[1]
+            )
 
             # Pad rows can't be excluded by a static row count under
             # SPMD; the kernel's bias row carries their -inf instead.

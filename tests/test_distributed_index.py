@@ -599,16 +599,26 @@ class TestShardedStreamingBuild:
         _, i2 = dist2.topk_from_embeddings(jnp.asarray(q))
         np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
 
-    def test_large_k_oversample_shrinks_per_shard(self):
-        """k x oversample beyond every feasible bin layout must shrink
-        the per-shard survivor set (rescore bounds recall), not crash
-        the pallas engine at dispatch (reference serving k=1000 with
-        the default oversample=4 hit exactly this)."""
+    @pytest.mark.parametrize("rescore", [True, False])
+    def test_large_k_oversample_shrinks_per_shard(self, rescore):
+        """PER-SHARD k x oversample beyond every feasible bin layout
+        must shrink the survivor set (rescore bounds recall; without
+        rescore the output is truncated to k anyway), not crash the
+        pallas engine at dispatch (reference serving k=1000 with the
+        default oversample=4 hit exactly this). N is sized so the
+        per-shard k_over (min(4k, N/S) = 2400) really exceeds
+        L_max=2048 — a smaller catalog clamps k_over to the shard size
+        and never enters the shrink path."""
+        from hm_retrieval_tpu.indices.quantized import (
+            shrink_survivors,
+        )
+
         rng = np.random.default_rng(9)
-        N, E, k = 4000, 16, 600  # os=4 -> k'=2400 > L_max=2048
+        N, E, k = 40_000, 16, 600  # per-shard n_local=5000, k'=2400
+        assert shrink_survivors(k, 4 * k, E) < 4 * k  # shrink engages
         emb = rng.normal(size=(N, E)).astype(np.float32)
         ids = np.arange(1, N + 1, dtype=np.int32)
-        q = rng.normal(size=(8, E)).astype(np.float32)
+        q = rng.normal(size=(4, E)).astype(np.float32)
         mesh = make_mesh(data=1, model=8)
         dist = DistributedQuantizedIndex(
             k,
@@ -616,11 +626,12 @@ class TestShardedStreamingBuild:
             emb,
             mesh=mesh,
             oversample=4,
+            rescore=rescore,
             method="pallas",
             interpret=True,
         )
         s, i = dist.topk_from_embeddings(jnp.asarray(q))
-        assert s.shape == (8, k)
+        assert s.shape == (4, k)
         ref = BruteForceIndex(k, ids, emb, method="full")
         _, want = ref.topk_from_embeddings(jnp.asarray(q))
         overlap = np.mean(
@@ -629,7 +640,7 @@ class TestShardedStreamingBuild:
                 for a, b in zip(np.asarray(i), np.asarray(want))
             ]
         )
-        assert overlap >= 0.95
+        assert overlap >= 0.9
 
     def test_to_local_of_streamed_build(self, catalog):
         ids, emb, q = catalog

@@ -369,6 +369,38 @@ class TestQuantizedIndex:
             >= 0.97
         )
 
+    def test_auto_shrunk_index_survives_save_load(
+        self, rng, tmp_path
+    ):
+        """save() records the RESOLVED method ('pallas') in meta; the
+        reload must re-shrink the infeasible oversampled survivor set
+        identically instead of crashing on its first query (the shrink
+        applies to explicit 'pallas' too for exactly this reason)."""
+        from unittest import mock
+
+        ids, emb, q = self._data(rng, n=3000, e=16)
+        k = 600
+        with mock.patch(
+            "jax.default_backend", return_value="tpu"
+        ):
+            idx = QuantizedIndex.__new__(QuantizedIndex)
+            QuantizedIndex.__init__(
+                idx, k, ids, emb, oversample=4, method="auto"
+            )
+            assert (idx.method, idx.k_over) == ("pallas", 1200)
+            d = str(tmp_path / "shrunk")
+            idx.save(d)
+            loaded = QuantizedIndex.load(d)
+            assert (loaded.method, loaded.k_over) == (
+                "pallas",
+                1200,
+            )
+        # query off-TPU: load remaps pallas->scan but the shrink must
+        # also round-trip through that path without error
+        reloaded = QuantizedIndex.load(d)
+        _, got = reloaded.topk_from_embeddings(jnp.asarray(q))
+        assert got.shape == (len(q), k)
+
     def test_explicit_scan_request_honored_at_large_k(self, rng):
         ids, emb, _ = self._data(rng, n=3000, e=16)
         idx = QuantizedIndex(
