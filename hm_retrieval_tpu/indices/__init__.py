@@ -24,6 +24,9 @@ from hm_retrieval_tpu.indices.static_index import StaticIndex
 INDEX_TYPES = {
     "brute_force": BruteForceIndex,
     "quantized": QuantizedIndex,
+    # the popularity baseline artifact loads through the same
+    # dispatcher (ref: pkg/modelling/indices/static_index.py)
+    "static": StaticIndex,
 }
 
 
