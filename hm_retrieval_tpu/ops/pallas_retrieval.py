@@ -1152,6 +1152,117 @@ def _topk_rounds(
     return lead_v, lead_i, rounds
 
 
+def _topk_rounds_lockstep(
+    queries: jax.Array,   # (B, E) compute dtype, B % B_blk == 0
+    c_padded: jax.Array,  # (N_pad, E) compute dtype
+    k: int,
+    L: int,
+    n_valid: int,
+    max_rounds: int,
+    interpret: bool,
+    B_blk: int,
+):
+    """Refinement loop running every query block IN LOCKSTEP so the
+    per-round merges happen at FULL batch width. At large k the merge
+    `lax.top_k` is width-sort-bound with a row-count-insensitive fixed
+    cost (measured 0.94ms at (128, 4096) vs 1.96ms at (1024, 4096) for
+    k=1000 — 4x worse per row at 128), so eight per-block merge chains
+    dominate the k=1000 kernel; batching them ~4xes the merge
+    throughput. The trade is per-block early exit: a deep-collision
+    block forces a full-batch pass, so this variant wins only in the
+    merge-bound large-k regime — IN ISOLATION. Measured end-to-end on
+    v5e (k=1000: 84.9 vs 79.6ms at N=131k, 105.3 vs 103.5 at 1M) the
+    variant is ~3-7% SLOWER: inside the compiled kernel the per-block
+    merges do not pay the isolated-op fixed cost the microbenchmark
+    showed (op costs do not compose additively under XLA scheduling —
+    same lesson as the dequant-FMA epilogue, BASELINE.md), and
+    lockstep forfeits per-block early exit. Kept opt-in
+    (``lockstep=True``) for revalidation on other hardware; never
+    auto-selected. Exactness argument identical to _topk_rounds — the
+    done-test is simply AND-ed across blocks."""
+    B = queries.shape[0]
+    assert B % B_blk == 0
+    blocks = range(0, B, B_blk)
+
+    def run_all(thr_s, thr_i):
+        outs = [
+            bin_max2_round(
+                queries[s : s + B_blk],
+                c_padded,
+                thr_s[s : s + B_blk],
+                thr_i[s : s + B_blk],
+                L,
+                n_valid,
+                interpret,
+            )
+            for s in blocks
+        ]
+        m1 = jnp.concatenate([o[0] for o in outs])
+        a1 = jnp.concatenate([o[1] for o in outs])
+        m2 = jnp.concatenate([o[2] for o in outs])
+        a2 = jnp.concatenate([o[3] for o in outs])
+        return (
+            jnp.concatenate([m1, m2], axis=1),
+            jnp.concatenate([a1, a2], axis=1),
+            m2,
+            a2,
+        )
+
+    def run_first():
+        outs = [
+            bin_max2_first_round(
+                queries[s : s + B_blk],
+                c_padded,
+                L,
+                n_valid,
+                interpret,
+            )
+            for s in blocks
+        ]
+        m1 = jnp.concatenate([o[0] for o in outs])
+        a1 = jnp.concatenate([o[1] for o in outs])
+        m2 = jnp.concatenate([o[2] for o in outs])
+        a2 = jnp.concatenate([o[3] for o in outs])
+        return (
+            jnp.concatenate([m1, m2], axis=1),
+            jnp.concatenate([a1, a2], axis=1),
+            m2,
+            a2,
+        )
+
+    vals, idxs, thr_s, thr_i = run_first()
+    lead_v, sel = lax.top_k(vals, k)          # ONE full-width merge
+    lead_i = jnp.take_along_axis(idxs, sel, axis=1)
+
+    def hidden_dominated(nthr_s, tau_hat):
+        return jnp.all(jnp.max(nthr_s, axis=1) < tau_hat)
+
+    done0 = hidden_dominated(thr_s, lead_v[:, k - 1])
+
+    def cond(state):
+        _, _, _, _, done, r = state
+        return jnp.logical_and(~done, r < max_rounds)
+
+    def body(state):
+        lead_v, lead_i, thr_s, thr_i, _, r = state
+        vals, idxs, nthr_s, nthr_i = run_all(thr_s, thr_i)
+        cand_v, sel = lax.top_k(vals, k)
+        cand_i = jnp.take_along_axis(idxs, sel, axis=1)
+        all_v = jnp.concatenate([lead_v, cand_v], axis=1)
+        all_i = jnp.concatenate([lead_i, cand_i], axis=1)
+        new_v, msel = lax.top_k(all_v, k)
+        new_i = jnp.take_along_axis(all_i, msel, axis=1)
+        done = hidden_dominated(nthr_s, new_v[:, k - 1])
+        return new_v, new_i, nthr_s, nthr_i, done, r + 1
+
+    lead_v, lead_i, _, _, _, rounds = lax.while_loop(
+        cond,
+        body,
+        (lead_v, lead_i, thr_s, thr_i, done0, jnp.int32(1)),
+    )
+    return lead_v, lead_i, rounds
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
@@ -1162,6 +1273,7 @@ def _topk_rounds(
         "compute_dtype",
         "keep_per_bin",
         "q_block",
+        "lockstep",
     ),
 )
 def pallas_exact_topk(
@@ -1174,8 +1286,14 @@ def pallas_exact_topk(
     compute_dtype=jnp.bfloat16,
     keep_per_bin: int = 2,
     q_block: int = DEFAULT_Q_BLOCK,
+    lockstep: bool = None,
 ):
     """Exact top-k of Q @ C^T via streaming bin-max rounds.
+
+    ``lockstep``: run every query block's refinement in lockstep so the
+    per-round merges happen at full batch width (_topk_rounds_lockstep).
+    Measured SLOWER on v5e at every point tried (see its docstring) —
+    default False; kept opt-in for other-hardware revalidation.
 
     Returns (values (B, k), indices (B, k), rounds = max over query
     blocks). Indices of padded / never-filled slots are valid candidate
@@ -1226,6 +1344,18 @@ def pallas_exact_topk(
     c_padded = jnp.pad(
         candidates.astype(compute_dtype), ((0, n_pad - N), (0, 0))
     )
+
+    if lockstep is None:
+        lockstep = False  # measured slower at every point on v5e
+    if lockstep and B > B_blk:
+        if keep_per_bin != 2 or B % B_blk:
+            raise ValueError(
+                "lockstep needs keep_per_bin=2 and B divisible by "
+                f"q_block (B={B}, q_block={B_blk})"
+            )
+        return _topk_rounds_lockstep(
+            queries, c_padded, k, L, N, max_rounds, interpret, B_blk
+        )
 
     vs, idxs, rounds = [], [], jnp.int32(0)
     for s in range(0, B, B_blk):

@@ -439,6 +439,40 @@ class TestFoldPass:
             )
 
 
+class TestLockstepVariant:
+    def test_lockstep_matches_per_block_and_oracle(self, rng):
+        """The opt-in lockstep refinement (full-width merges) must be
+        exactly the per-block path's result — it only changes merge
+        batching and the done-test granularity."""
+        B, E, N, k = 256, 16, 3000, 600
+        q = rng.normal(size=(B, E)).astype(np.float32)
+        c = rng.normal(size=(N, E)).astype(np.float32)
+        want = ref_topk(q @ c.T, k)
+        v1, i1, _ = pallas_exact_topk(
+            jnp.asarray(q), jnp.asarray(c), k,
+            interpret=True, compute_dtype=jnp.float32,
+            q_block=128, lockstep=True,
+        )
+        v0, i0, _ = pallas_exact_topk(
+            jnp.asarray(q), jnp.asarray(c), k,
+            interpret=True, compute_dtype=jnp.float32,
+            q_block=128, lockstep=False,
+        )
+        np.testing.assert_allclose(np.asarray(v1), want, rtol=1e-5)
+        np.testing.assert_array_equal(
+            np.asarray(i1), np.asarray(i0)
+        )
+
+    def test_lockstep_validation(self, rng):
+        q = rng.normal(size=(200, 16)).astype(np.float32)
+        c = rng.normal(size=(1000, 16)).astype(np.float32)
+        with pytest.raises(ValueError, match="divisible"):
+            pallas_exact_topk(
+                jnp.asarray(q), jnp.asarray(c), 10,
+                interpret=True, q_block=128, lockstep=True,
+            )
+
+
 class TestAutoPolicyLargeK:
     def test_large_k_over_still_feasible(self, rng):
         """Regression (round-3 review finding): the joint (q_block,
