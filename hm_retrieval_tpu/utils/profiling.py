@@ -25,15 +25,20 @@ class StepProfiler:
         self.logdir = logdir
         self.window = window
         self._active = False
+        self._done = False
 
     def on_step(self, step: int) -> None:
         if self.window is None:
             return
         start, stop = self.window
-        # >= not ==: callers may observe steps at a stride (chunked
-        # dispatch advances global_step by steps_per_dispatch), so an
-        # equality test could skip straight past the window start
-        if start <= step < stop and not self._active:
+        # Threshold tests, not equality: callers may observe steps at a
+        # stride (chunked dispatch advances global_step by
+        # steps_per_dispatch), so the counter can jump past `start` —
+        # or past the ENTIRE window. The trace starts at the first
+        # observed step >= start and stops at the NEXT observed step
+        # >= stop, so a stride wider than the window still captures one
+        # dispatch's worth of trace instead of none.
+        if not self._active and not self._done and step >= start:
             logger.info(
                 "Starting profiler trace (steps %d..%d) -> %s",
                 start,
@@ -42,9 +47,10 @@ class StepProfiler:
             )
             jax.profiler.start_trace(self.logdir)
             self._active = True
-        elif step >= stop and self._active:
+        elif self._active and step >= stop:
             jax.profiler.stop_trace()
             self._active = False
+            self._done = True
             logger.info("Stopped profiler trace at step %d", step)
 
     def close(self) -> None:

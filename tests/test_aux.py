@@ -30,6 +30,19 @@ class TestStepProfiler:
         prof.close()
         assert os.listdir(tmp_path) == []
 
+    def test_strided_steps_still_open_window(self, tmp_path):
+        """Chunked dispatch advances global_step by steps_per_dispatch,
+        so on_step may never hit the window start exactly — the
+        range-based start must still open (and close) the trace."""
+        prof = StepProfiler(str(tmp_path), window=(100, 110))
+        for step in range(0, 512, 64):  # 64, 128, ... never == 100
+            prof.on_step(step)
+        prof.close()
+        found = glob.glob(
+            str(tmp_path / "**" / "*.xplane.pb"), recursive=True
+        )
+        assert found, os.listdir(tmp_path)
+
     def test_close_stops_open_trace(self, tmp_path):
         prof = StepProfiler(str(tmp_path), window=(0, 100))
         prof.on_step(0)  # starts, never reaches stop step
