@@ -57,3 +57,4 @@ class StepProfiler:
         if self._active:
             jax.profiler.stop_trace()
             self._active = False
+        self._done = True  # a stray on_step can't reopen a trace
