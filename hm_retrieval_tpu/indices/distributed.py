@@ -67,17 +67,25 @@ from hm_retrieval_tpu.indices.builder import (  # noqa: E402
 
 def _shard_arrays_to_blocks(dirpath: str):
     """Sharded-artifact files as ``(ids, embed_thunk)`` row blocks for
-    ``place_catalog_rows`` (fp32 reconstructed from int8 codes when the
-    artifact has no embeddings — requantization reproduces the codes
-    exactly)."""
-    for arrays in iter_shard_arrays(dirpath):
-        if "embeddings" in arrays:
-            emb = arrays["embeddings"]
-        else:
-            emb = arrays["codes"].astype(np.float32) * arrays[
-                "scales"
-            ][:, None]
-        yield arrays["identifiers"], (lambda e=emb: e)
+    ``place_catalog_rows``. Only the identifiers are read eagerly; the
+    embedding decode (npz decompress + int8 dequantization when the
+    artifact has no fp32 copy — requantization reproduces the codes
+    exactly) happens inside the thunk, so a multi-host load skips both
+    IO and dequantization for blocks its process does not own — the
+    same owned-shard laziness as the build path."""
+    for path in shard_paths(dirpath):
+        with np.load(path) as z:
+            ids = z["identifiers"]
+
+        def thunk(p=path):
+            with np.load(p) as z:
+                if "embeddings" in z.files:
+                    return z["embeddings"]
+                return z["codes"].astype(np.float32) * z["scales"][
+                    :, None
+                ]
+
+        yield ids, thunk
 
 
 def _pull_model_shards(arr, per: int, wanted):
@@ -92,6 +100,30 @@ def _pull_model_shards(arr, per: int, wanted):
         if s in wanted and s not in out:
             out[s] = np.asarray(sh.data)
     return out
+
+
+def _gathered_shard(arr, s: int, per: int, mesh, shape, dtype):
+    """Host copy of model shard ``s`` of a P(model, ...)-sharded global
+    array on EVERY process. Single-process: a plain device->host pull.
+    Multi-process: collective — the owning process pulls the shard and
+    peers receive it via ``process_allgather`` (one shard in flight at
+    a time, O(P * N*E/S) transient, never P copies of the catalog).
+    ALL processes must call this with the same arguments."""
+    pi = jax.process_index()
+    owner = mesh.devices[0, s].process_index
+    local = None
+    if owner == pi:
+        local = _pull_model_shards(arr, per, {s})[s]
+    if jax.process_count() == 1:
+        return local
+    from jax.experimental import multihost_utils
+
+    buf = (
+        local
+        if local is not None
+        else np.zeros(shape, dtype)
+    )
+    return np.asarray(multihost_utils.process_allgather(buf))[owner]
 
 
 def _write_sharded_artifact(
@@ -130,6 +162,15 @@ def _write_sharded_artifact(
                 key: _pull_model_shards(a, per, {s})[s][:fill]
                 for key, a in arrays.items()
             },
+        )
+    if jax.process_count() > 1:
+        # meta.json is the load trigger: a reader that keys on it must
+        # never observe it before every peer's shard file is complete,
+        # so barrier all writers before the coordinator publishes
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices(
+            "sharded_index_artifact_write"
         )
     if pi == 0:
         dim = next(
@@ -421,28 +462,29 @@ class DistributedBruteForceIndex(_DistributedIndexBase):
 
     def _host_catalog(self) -> np.ndarray:
         """Full fp32 catalog on the host (assembled shard-by-shard for
-        streamed builds; single-process only — O(N*E) host memory is
-        inherent to producing a replicated local copy)."""
+        streamed builds — O(N*E) host memory is inherent to producing a
+        replicated local copy). Multi-process: collective — every
+        process must call this together (each shard is pulled by its
+        owner and exchanged via ``process_allgather``)."""
         if self._host_embeddings is not None:
             return self._host_embeddings
-        if jax.process_count() > 1:
-            raise RuntimeError(
-                "full-catalog host assembly of a streamed sharded "
-                "build needs every shard addressable (single process)"
-            )
         total = self._emb.shape[0]
         S = self.mesh.shape[MODEL_AXIS]
         per = total // S
+        E = self._emb.shape[1]
         return np.concatenate(
             [
-                _pull_model_shards(self._emb, per, {s})[s]
+                _gathered_shard(
+                    self._emb, s, per, self.mesh, (per, E), np.float32
+                )
                 for s in range(S)
             ]
         )[: self.num_candidates]
 
     def to_local(self, method: str = "auto"):
         """Single-device BruteForceIndex over the same catalog (for
-        export paths that need the replicated layout)."""
+        export paths that need the replicated layout). Multi-process:
+        collective — call on every process (see ``_host_catalog``)."""
         from hm_retrieval_tpu.indices.brute_force import BruteForceIndex
 
         return BruteForceIndex(
@@ -734,30 +776,38 @@ class DistributedQuantizedIndex(_DistributedIndexBase):
     def _host_catalog(self) -> np.ndarray:
         """Full fp32 catalog on the host (assembled shard-by-shard for
         streamed builds; dequantized from the int8 shards when no fp32
-        copy exists; single-process only)."""
+        copy exists). Multi-process: collective — every process must
+        call this together (each shard is pulled by its owner and
+        exchanged via ``process_allgather``)."""
         if self._host_embeddings is not None:
             return self._host_embeddings
-        if jax.process_count() > 1:
-            raise RuntimeError(
-                "full-catalog host assembly of a streamed sharded "
-                "build needs every shard addressable (single process)"
-            )
         codes, scales, emb, _, _ = self._placed
         total = codes.shape[0]
         S = self.mesh.shape[MODEL_AXIS]
         per = total // S
+        E = codes.shape[1]
         parts = []
         for s in range(S):
             if emb is not None:
-                parts.append(_pull_model_shards(emb, per, {s})[s])
+                parts.append(
+                    _gathered_shard(
+                        emb, s, per, self.mesh, (per, E), np.float32
+                    )
+                )
             else:
-                c = _pull_model_shards(codes, per, {s})[s]
-                sc = _pull_model_shards(scales, per, {s})[s]
+                c = _gathered_shard(
+                    codes, s, per, self.mesh, (per, E), codes.dtype
+                )
+                sc = _gathered_shard(
+                    scales, s, per, self.mesh, (per,), np.float32
+                )
                 parts.append(c.astype(np.float32) * sc[:, None])
         return np.concatenate(parts)[: self.num_candidates]
 
     def to_local(self, **kwargs):
-        """Single-device QuantizedIndex over the same catalog."""
+        """Single-device QuantizedIndex over the same catalog.
+        Multi-process: collective — call on every process (see
+        ``_host_catalog``)."""
         from hm_retrieval_tpu.indices.quantized import QuantizedIndex
 
         kwargs.setdefault("oversample", self.oversample)

@@ -731,11 +731,7 @@ def modelling_runner(
         )
         if getattr(index, "collective_save", False) or _is_coordinator():
             index.save(settings.index_dirpath)
-        if settings.savedmodel_dirpath and _is_coordinator():
-            from hm_retrieval_tpu.serving.savedmodel_export import (
-                export_index_savedmodel,
-            )
-
+        if settings.savedmodel_dirpath:
             final_params = state.params
             if sharded_feats:
                 from hm_retrieval_tpu.parallel.sharded_sparse_training import (  # noqa: E501
@@ -747,14 +743,22 @@ def modelling_runner(
             if distributed_index:
                 # the SavedModel deployment artifact is single-device
                 # by contract (TF-Serving); collapse the sharded
-                # catalog back to the replicated layout for export
+                # catalog back to the replicated layout for export.
+                # COLLECTIVE for streamed sharded builds (per-shard
+                # process_allgather) — must run on every process, only
+                # the coordinator writes the SavedModel below
                 export_index = index.to_local()
-            export_index_savedmodel(
-                schema,
-                final_params["query_tower"],
-                export_index,
-                settings.savedmodel_dirpath,
-            )
+            if _is_coordinator():
+                from hm_retrieval_tpu.serving.savedmodel_export import (
+                    export_index_savedmodel,
+                )
+
+                export_index_savedmodel(
+                    schema,
+                    final_params["query_tower"],
+                    export_index,
+                    settings.savedmodel_dirpath,
+                )
         return results
     finally:
         # close on every exit path so a mid-run failure (e.g. a late

@@ -91,6 +91,29 @@ dist_recalls = evaluation_runner(
 )
 multihost_utils.sync_global_devices("dist_index_written")
 
+# --- streamed sharded build -> replicated local export (the
+# SavedModel deployment path, advisor r4 medium): to_local() is
+# COLLECTIVE (per-shard process_allgather) and must assemble the
+# identical full catalog on every rank even though no rank holds a
+# host copy ---
+from hm_retrieval_tpu.indices.distributed import (  # noqa: E402
+    DistributedBruteForceIndex,
+)
+
+dist_index = DistributedBruteForceIndex.load(
+    settings.index_dirpath + "_dist", mesh=mesh_dm
+)
+assert dist_index._host_embeddings is None  # streamed sharded layout
+local_index = dist_index.to_local()
+local_export_digest = float(
+    np.float64(
+        np.asarray(local_index.embeddings, np.float64).sum()
+    )
+    + np.float64(
+        np.asarray(local_index.identifiers, np.float64).sum()
+    )
+)
+
 # --- per-host-independent eval path: each rank streams its shard
 # subset against the saved index with NO mesh, then IndexRecall
 # cross_process sums {hits, seen} over the group ---
@@ -270,6 +293,7 @@ with open(outfile, "w") as f:
             "chunked_losses": chunked_losses,
             "tp_losses": tp_losses,
             "tp_param_digest": param_digest,
+            "local_export_digest": local_export_digest,
             "tp_mesh": [int(x) for x in arr.shape],
             "local_test_rows": test_ds.local_num_rows,
         },

@@ -661,3 +661,57 @@ class TestShardedStreamingBuild:
         _, i_l = local.topk_from_embeddings(jnp.asarray(q))
         _, i_h = host.topk_from_embeddings(jnp.asarray(q))
         np.testing.assert_array_equal(np.asarray(i_l), np.asarray(i_h))
+
+
+class TestLazyShardedLoad:
+    """_shard_arrays_to_blocks must defer the embedding decode to the
+    thunk (advisor r4): a multi-host load skips IO + dequantization for
+    unowned shards, so reading the ids alone must not touch the
+    embedding payloads."""
+
+    def _sharded_artifact(self, catalog, tmp_path):
+        ids, emb, _ = catalog
+        mesh = make_mesh(data=2, model=4)
+        built = DistributedQuantizedIndex.build_from_batches(
+            10,
+            "article_id",
+            _embed_fn_for(ids, emb),
+            _batches_of(ids, 128),
+            128,
+            mesh=mesh,
+            num_candidates=len(ids),
+            dim=emb.shape[1],
+            method="scan",
+            rescore=False,  # int8-only artifact: thunk must dequantize
+        )
+        d = str(tmp_path / "lazy")
+        built.save(d)
+        return d
+
+    def test_embedding_decode_is_deferred(self, catalog, tmp_path):
+        import os
+
+        from hm_retrieval_tpu.indices.distributed import (
+            _shard_arrays_to_blocks,
+        )
+
+        d = self._sharded_artifact(catalog, tmp_path)
+        blocks = list(_shard_arrays_to_blocks(d))
+        assert len(blocks) == 4
+        # ids were read eagerly; embeddings must decode correctly...
+        ids, emb, _ = catalog
+        got_ids = np.concatenate([b[0] for b in blocks])
+        np.testing.assert_array_equal(got_ids[: len(ids)], ids)
+        first = blocks[0][1]()
+        assert first.dtype == np.float32
+        assert first.shape[1] == emb.shape[1]
+        # ...but only when the thunk runs: with the files gone, a
+        # fresh iteration's ids are already in hand while an unowned
+        # block's thunk was never charged for IO — invoking it now
+        # fails, proving the decode had not happened eagerly
+        blocks2 = list(_shard_arrays_to_blocks(d))
+        for f in os.listdir(d):
+            if f.startswith("index_shard_"):
+                os.unlink(os.path.join(d, f))
+        with pytest.raises(FileNotFoundError):
+            blocks2[1][1]()

@@ -272,6 +272,11 @@ class TestProcessGroupBringup:
             assert r["tp_losses"] == r0["tp_losses"]
             assert r["tp_param_digest"] == r0["tp_param_digest"]
             assert r["chunked_losses"] == r0["chunked_losses"]
+            # streamed-sharded-build -> to_local() (the SavedModel
+            # export path) assembled the identical catalog everywhere
+            assert (
+                r["local_export_digest"] == r0["local_export_digest"]
+            )
         # each rank saw only part of the test set; together, all of it
         full_rows = ShardDataset(
             settings.test_shards_dirpath
