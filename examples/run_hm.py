@@ -89,6 +89,27 @@ def main():
         "relay-attached chip (BASELINE.md)",
     )
     ap.add_argument(
+        "--platform",
+        default=None,
+        help="force a jax platform (e.g. cpu); default = ambient",
+    )
+    ap.add_argument(
+        "--history",
+        type=int,
+        default=0,
+        metavar="N",
+        help="add a purchase_history SEQUENCE query feature holding "
+        "each customer's last N article ids (vocab shared with "
+        "article_id; BASELINE config[3]). 0 = reference feature set "
+        "exactly (the reference has no history feature)",
+    )
+    ap.add_argument(
+        "--history-pooling",
+        choices=["mean", "attention"],
+        default="mean",
+        help="pooling for the history token embeddings",
+    )
+    ap.add_argument(
         "--distributed-index",
         action="store_true",
         help="row-shard the retrieval catalog over the mesh's model "
@@ -97,7 +118,13 @@ def main():
         "catalogs bigger than one chip's HBM)",
     )
     args = ap.parse_args()
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
     stages = set(args.stages.split(","))
+    if stages == {"all"}:
+        stages = {"etl", "schema", "shards", "model", "baseline"}
     unknown = stages - {"etl", "schema", "shards", "model", "baseline"}
     if unknown:
         ap.error(f"unknown stages: {sorted(unknown)}")
@@ -152,6 +179,7 @@ def main():
         baseline_index_dirpath=f"{d}/artifacts/baseline_index",
         checkpoint_dirpath=f"{d}/artifacts/checkpoints",
         tensorboard_logs_dir=f"{d}/logs",
+        history_max_len=args.history or None,
         savedmodel_dirpath=(
             f"{d}/artifacts/savedmodel"
             if args.export_savedmodel
@@ -161,14 +189,29 @@ def main():
 
     # Feature set per ref main.py:32-111 (the duplicate product_type_name
     # entry in the reference is collapsed: our Schema rejects duplicates).
-    schema = Schema(
-        features=[
+    query_features = [
+        Feature(
+            "customer_id",
+            FeatureKind.CATEGORICAL,
+            FeatureFamily.QUERY,
+            embedding_size=128,
+        ),
+    ]
+    if args.history:
+        query_features.append(
             Feature(
-                "customer_id",
-                FeatureKind.CATEGORICAL,
+                "purchase_history",
+                FeatureKind.SEQUENCE,
                 FeatureFamily.QUERY,
                 embedding_size=128,
-            ),
+                max_len=args.history,
+                shared_vocab_with="article_id",
+                pooling=args.history_pooling,
+            )
+        )
+    schema = Schema(
+        features=query_features
+        + [
             Feature(
                 "FN",
                 FeatureKind.NUMERIC,

@@ -30,6 +30,47 @@ logger = logging.getLogger(__name__)
 MANIFEST_NAME = "manifest.json"
 
 
+def _arrow_list_parts(col: pd.Series):
+    """(unique_tokens, flat_dict_indices, offsets) of an arrow-backed
+    list column, or None when the column isn't one (object columns fall
+    back to the list path). Token strings are dictionary-encoded in
+    arrow C++ first, so the vocab lookup runs once per UNIQUE token and
+    the per-row work is pure int32 indexing — the write-side analog of
+    the reader's no-strings-on-device rule."""
+    try:
+        import pyarrow as pa
+    except Exception:  # pragma: no cover - pyarrow ships with pandas 3
+        return None
+    conv = getattr(col.array, "__arrow_array__", None)
+    if conv is None:
+        return None
+    arr = conv()
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if not (
+        pa.types.is_list(arr.type) or pa.types.is_large_list(arr.type)
+    ):
+        return None
+    if arr.null_count:
+        return None  # null rows: the list path's None handling applies
+    values = arr.values
+    if pa.types.is_dictionary(values.type):
+        if values.null_count:
+            return None
+        idx = np.asarray(values.indices)
+        toks = values.dictionary
+    else:
+        d = values.dictionary_encode()
+        if d.null_count:
+            return None
+        idx = np.asarray(d.indices)
+        toks = d.dictionary
+    tokens = np.asarray(toks.cast(pa.string()))
+    return tokens, idx.astype(np.int64), np.asarray(
+        arr.offsets, np.int64
+    )
+
+
 class ShardWriter:
     """Writes a DataFrame as encoded columnar shards
     (ref: TFRecordWriter, pkg/tfrecord_writer/tfrecord_writer.py:80-126).
@@ -50,9 +91,19 @@ class ShardWriter:
             if f.kind == FeatureKind.CATEGORICAL:
                 out[f.name] = f.encode(df[f.name].to_numpy())
             elif f.kind == FeatureKind.SEQUENCE:
-                out[f.name] = f.encode_sequence(
-                    df[f.name].tolist()
-                )
+                parts = _arrow_list_parts(df[f.name])
+                if parts is not None:
+                    tokens, idx, offsets = parts
+                    # one vocab lookup per UNIQUE token, then pure
+                    # int windowing — no python lists materialized
+                    flat_ids = f.encode(tokens)[idx]
+                    out[f.name] = f.encode_sequence_ids(
+                        flat_ids, offsets
+                    )
+                else:
+                    out[f.name] = f.encode_sequence(
+                        df[f.name].tolist()
+                    )
             else:
                 out[f.name] = f.transform_numeric(
                     df[f.name].to_numpy()

@@ -317,6 +317,31 @@ class Feature:
         out[row_idx, col_idx] = ids
         return out
 
+    def encode_sequence_ids(
+        self, flat_ids: np.ndarray, offsets: np.ndarray
+    ) -> np.ndarray:
+        """Pre-encoded flat token ids + (B+1,) row offsets ->
+        (B, max_len) int32 windows: the last ``max_len`` tokens per row,
+        right-padded with 0 — identical to ``encode_sequence`` after a
+        flat ``encode``. This is the zero-object-churn half of the
+        arrow-backed fast path (data/shard_writer.py): 31M histories
+        window in a handful of O(total) numpy gathers."""
+        if self.kind != FeatureKind.SEQUENCE:
+            raise ValueError(f"{self.name!r} is not a sequence feature")
+        offsets = np.asarray(offsets, np.int64)
+        n = len(offsets) - 1
+        out = np.zeros((n, self.max_len), np.int32)
+        lens = np.minimum(offsets[1:] - offsets[:-1], self.max_len)
+        total = int(lens.sum())
+        if total == 0:
+            return out
+        row = np.repeat(np.arange(n, dtype=np.int64), lens)
+        starts = np.cumsum(lens) - lens
+        j = np.arange(total, dtype=np.int64) - starts[row]
+        src = offsets[1:][row] - lens[row] + j
+        out[row, j] = np.asarray(flat_ids, np.int32)[src]
+        return out
+
     def _encode_sequence_loop(self, values) -> np.ndarray:
         """Reference implementation of ``encode_sequence`` (per-row,
         per-token dict lookups). Kept as the parity oracle for tests and

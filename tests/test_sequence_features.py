@@ -518,3 +518,139 @@ class TestAttentionPooling:
         loaded = Schema.load(str(tmp_path / "s"))
         assert loaded.feature("history").pooling == "attention"
         assert loaded.feature("article_id").pooling == "mean"
+
+
+class TestVectorizedHistory:
+    """add_history_column is fully vectorized (round-5); these pin its
+    equivalence to the per-row loop oracle and the arrow fast path
+    through parquet + ShardWriter."""
+
+    def _random_frame(self, n, n_users, n_items, n_days, seed):
+        rng = np.random.default_rng(seed)
+        return pd.DataFrame(
+            {
+                "t_dat": [
+                    f"2020-01-{d + 1:02d}"
+                    for d in rng.integers(0, n_days, n)
+                ],
+                "customer_id": [
+                    f"u{u}" for u in rng.integers(0, n_users, n)
+                ],
+                "article_id": [
+                    f"a{i}" for i in rng.integers(0, n_items, n)
+                ],
+            }
+        )
+
+    @pytest.mark.parametrize("seed", [0, 1])
+    def test_matches_row_loop_oracle(self, seed):
+        from hm_retrieval_tpu.etl.transformations import (
+            _add_history_column_rows,
+        )
+
+        df = self._random_frame(400, 23, 17, 9, seed)
+        got = add_history_column(
+            df, "customer_id", "article_id", "h", 4, date_col="t_dat"
+        )
+        want = _add_history_column_rows(
+            df, "customer_id", "article_id", "h", 4, date_col="t_dat"
+        )
+        assert got["h"].tolist() == want["h"].tolist()
+
+    def test_matches_oracle_without_date(self):
+        from hm_retrieval_tpu.etl.transformations import (
+            _add_history_column_rows,
+        )
+
+        df = self._random_frame(200, 11, 9, 5, 2).drop(columns=["t_dat"])
+        got = add_history_column(
+            df, "customer_id", "article_id", "h", 3
+        )
+        want = _add_history_column_rows(
+            df, "customer_id", "article_id", "h", 3
+        )
+        assert got["h"].tolist() == want["h"].tolist()
+
+    def test_int_item_column(self):
+        from hm_retrieval_tpu.etl.transformations import (
+            _add_history_column_rows,
+        )
+
+        df = pd.DataFrame(
+            {
+                "customer_id": ["u"] * 4,
+                "article_id": [108775015, 108775044, 110065001, 108775015],
+            }
+        )
+        got = add_history_column(
+            df, "customer_id", "article_id", "h", 8
+        )
+        want = _add_history_column_rows(
+            df, "customer_id", "article_id", "h", 8
+        )
+        assert got["h"].tolist() == want["h"].tolist()
+        assert got["h"].tolist()[-1] == [
+            "108775015",
+            "108775044",
+            "110065001",
+        ]
+
+    def test_parquet_shard_fast_path_matches_list_path(self, tmp_path):
+        """ETL parquet -> load_dataframe (arrow-backed list column) ->
+        ShardWriter must produce the SAME encoded (B, max_len) ids as
+        the object-column list path."""
+        from hm_retrieval_tpu.data.shard_writer import (
+            ShardWriter,
+            _arrow_list_parts,
+        )
+        from hm_retrieval_tpu.etl.transformations import (
+            load_dataframe,
+            save_dataframe,
+        )
+
+        df = self._random_frame(300, 13, 11, 7, 5)
+        out = add_history_column(
+            df, "customer_id", "article_id", "h", 4, date_col="t_dat"
+        )
+        p = str(tmp_path / "train.parquet")
+        save_dataframe(out, p)
+        loaded = load_dataframe(p)
+        assert _arrow_list_parts(loaded["h"]) is not None
+
+        f = Feature(
+            "h",
+            FeatureKind.SEQUENCE,
+            FeatureFamily.QUERY,
+            embedding_size=4,
+            max_len=4,
+            vocab=np.array([f"a{i}" for i in range(8)]),  # some OOV
+        )
+        w = ShardWriter([f], max_rows=1000)
+        fast = w.encode_dataframe(loaded)["h"]
+        slow = f.encode_sequence(loaded["h"].tolist())
+        np.testing.assert_array_equal(fast, slow)
+
+    def test_encode_sequence_ids_matches_encode_sequence(self):
+        rng = np.random.default_rng(9)
+        vocab = np.array([f"t{i}" for i in range(12)])
+        f = Feature(
+            "h",
+            FeatureKind.SEQUENCE,
+            FeatureFamily.QUERY,
+            embedding_size=4,
+            max_len=3,
+            vocab=vocab,
+        )
+        rows = [
+            [f"t{j}" for j in rng.integers(0, 15, rng.integers(0, 7))]
+            for _ in range(200)
+        ]
+        lens = np.array([len(r) for r in rows], np.int64)
+        offsets = np.concatenate(([0], np.cumsum(lens)))
+        flat = [t for r in rows for t in r]
+        flat_ids = f.encode(np.array(flat, dtype=object)) if flat else (
+            np.zeros(0, np.int32)
+        )
+        got = f.encode_sequence_ids(flat_ids, offsets)
+        want = f.encode_sequence(rows)
+        np.testing.assert_array_equal(got, want)
