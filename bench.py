@@ -306,6 +306,7 @@ def bench_pipeline_training(
     emb_dim: int = 128,
     workdir: str = None,
     steps_per_dispatch: int = 1,
+    repeats: int = 3,
 ):
     """END-TO-END pipeline-fed training throughput: real shard files ->
     ShardDataset.iter_batches (threaded reads + buffered shuffle) ->
@@ -314,7 +315,14 @@ def bench_pipeline_training(
     (runners/modelling.py:train epoch), so unlike the pure-step scan it
     pays host decode, per-step dispatch through the relay tunnel, and
     host->device transfer — SURVEY §7 hard part #6 measured honestly
-    rather than excluded."""
+    rather than excluded.
+
+    Hardened like the pure-step scan (round-5, verdict r4 #2): the full
+    loop runs ``repeats`` times (median + min/max spread in the JSON),
+    and two phase measurements attribute any day-to-day swing — a
+    host-only pass over the SAME reader (decode ms/step) and a
+    feed+transfer-only pass (device_put consumption, no train step), so
+    tunnel jitter, host decode, and dispatch cost are separable."""
     import shutil
     import tempfile
 
@@ -375,11 +383,11 @@ def bench_pipeline_training(
 
     ds = ShardDataset(tmp)
 
-    def feed(n):
+    def feed(n, seed=1):
         it = ds.iter_batches(
             batch,
             shuffle_buffer_size=8 * batch,
-            seed=1,
+            seed=seed,
             drop_remainder=True,
         )
         count = 0
@@ -400,9 +408,9 @@ def bench_pipeline_training(
 
         chunk_fn = make_chunked_train_step(step)
 
-        def run_steps(n):
+        def run_steps(n, seed=1):
             loss = None
-            for chunk in device_feed_chunked(feed(n), spd):
+            for chunk in device_feed_chunked(feed(n, seed), spd):
                 nonlocal_state["state"], m = chunk_fn(
                     nonlocal_state["state"], chunk
                 )
@@ -411,9 +419,9 @@ def bench_pipeline_training(
 
     else:
 
-        def run_steps(n):
+        def run_steps(n, seed=1):
             loss = None
-            for db in device_feed(feed(n)):
+            for db in device_feed(feed(n, seed)):
                 nonlocal_state["state"], m = step(
                     nonlocal_state["state"], db
                 )
@@ -423,10 +431,34 @@ def bench_pipeline_training(
     nonlocal_state = {"state": state}
     # warm: compile + spin the reader threads
     float(run_steps(4 * spd))
-    t0 = time.time()
-    float(run_steps(steps))  # one sync at the end: dispatches pipeline
-    dt = time.time() - t0
+
     eff_steps = (steps // spd) * spd
+    # --- phase 1: host decode only (same reader config, batches
+    # consumed on the host — no device work at all) ---
+    t0 = time.time()
+    n_host = 0
+    for _ in feed(steps, seed=101):
+        n_host += 1
+    host_ms = (time.time() - t0) / n_host * 1e3
+    # --- phase 2: feed + transfer only (device_put consumption
+    # through the real prefetching feeder; no train step) ---
+    t0 = time.time()
+    last = None
+    if spd > 1:
+        for chunk in device_feed_chunked(feed(steps, 102), spd):
+            last = chunk
+    else:
+        for db in device_feed(feed(steps, 102)):
+            last = db
+    float(jax.tree_util.tree_leaves(last)[0].reshape(-1)[0])
+    transfer_ms = (time.time() - t0) / eff_steps * 1e3
+    # --- full loop, repeated; headline = median ---
+    dts = []
+    for r in range(repeats):
+        t0 = time.time()
+        float(run_steps(steps, seed=2 + r))  # one sync at the end
+        dts.append(time.time() - t0)
+    dt = float(np.median(dts))
     if workdir is None:
         shutil.rmtree(tmp, ignore_errors=True)
     key = (
@@ -436,7 +468,14 @@ def bench_pipeline_training(
     )
     return {
         f"{key}_examples_per_s": eff_steps * batch / dt,
+        f"{key}_examples_per_s_spread": [
+            eff_steps * batch / max(dts),
+            eff_steps * batch / min(dts),
+        ],
+        f"{key}_repeat_s": dts,
         f"{key}_step_ms": dt / eff_steps * 1e3,
+        f"{key}_host_decode_ms_per_step": host_ms,
+        f"{key}_feed_transfer_ms_per_step": transfer_ms,
         f"{key}_steps": eff_steps,
         **(
             {f"{key}_steps_per_dispatch": spd} if spd > 1 else {}
@@ -609,6 +648,159 @@ def bench_quantized(iters: int, B: int, N: int, E: int, K: int,
             "scale_mode": scale_mode,
         },
     }
+
+
+def bench_index_build(
+    N: int,
+    E: int = 128,
+    batch: int = 10_000,
+    e2e: bool = True,
+    distributed: bool = False,
+):
+    """Per-epoch index (re)build throughput (verdict r4 #5): the
+    reference re-embeds the whole catalog and rebuilds its index every
+    epoch (ref: pkg/modelling/runner.py:88-93, brute_force.py:31-52),
+    so build time is a product number, not a detail. Three phases:
+
+    - ``embed_rows_per_s``: catalog embed through the candidate tower,
+      device-only scan (the pure compute term);
+    - ``quantize_rows_per_s``: per-row int8 quantization of the (N, E)
+      catalog on device;
+    - ``e2e_rows_per_s``: the REAL ``QuantizedIndex.build_from_batches``
+      wall clock — host batches in, embeddings pulled to host, quantize,
+      index constructed. Through the relay tunnel this is dominated by
+      the (N*E*4)-byte embedding download; on attached hardware the
+      embed term dominates. The phase split makes that attributable.
+
+    ``distributed=True`` adds the streamed sharded build
+    (DistributedQuantizedIndex over a model-axis mesh of every local
+    device, O(N*E/S) host peak) — the multi-chip placement path.
+    """
+    import jax.numpy as jnp
+
+    from hm_retrieval_tpu.indices.quantized import QuantizedIndex
+
+    model, _, _ = hm_scale_model(
+        n_customers=1000, n_articles=N, emb_dim=E
+    )
+    params = model.init_params(0)
+    n_b = -(-N // batch)
+
+    def dev_batch(i, salt):
+        ids = (
+            jnp.arange(batch, dtype=jnp.int32) + i * batch + salt
+        ) % N + 1
+        return {
+            "article_id": ids,
+            "product_type_name": ids % 130 + 1,
+            "colour_group_name": ids % 50 + 1,
+        }
+
+    @jax.jit
+    def embed_scan(params, salt):
+        def body(carry, i):
+            e = model.candidate_forward(params, dev_batch(i, salt))
+            return carry + jnp.sum(e.astype(jnp.float32)), None
+
+        acc, _ = jax.lax.scan(body, 0.0, jnp.arange(n_b))
+        return acc
+
+    float(embed_scan(params, jnp.int32(0)))  # compile + warm
+    t0 = time.time()
+    float(embed_scan(params, jnp.int32(1)))
+    embed_dt = time.time() - t0
+
+    c = jax.jit(
+        lambda: jax.random.normal(
+            jax.random.PRNGKey(2), (N, E), jnp.float32
+        )
+    )()
+
+    @jax.jit
+    def quant(c, salt):
+        c = jnp.roll(c, salt, axis=0)
+        scales = jnp.max(jnp.abs(c), axis=1) / 127.0
+        scales = jnp.where(scales > 0, scales, 1.0)
+        codes = jnp.clip(
+            jnp.rint(c / scales[:, None]), -127, 127
+        ).astype(jnp.int8)
+        return jnp.sum(codes.astype(jnp.int32)) + jnp.sum(scales)
+
+    float(quant(c, jnp.int32(0)))
+    t0 = time.time()
+    float(quant(c, jnp.int32(1)))
+    quant_dt = time.time() - t0
+
+    out = {
+        "config": {"N": N, "E": E, "batch": batch},
+        "embed_rows_per_s": N / embed_dt,
+        "embed_s": embed_dt,
+        "quantize_rows_per_s": N / quant_dt,
+        "quantize_s": quant_dt,
+    }
+
+    def host_batches():
+        for i in range(n_b):
+            lo, hi = i * batch, min(N, (i + 1) * batch)
+            ids = np.arange(lo, hi, dtype=np.int32) % N + 1
+            yield {
+                "article_id": ids,
+                "product_type_name": (ids % 130 + 1).astype(
+                    np.int32
+                ),
+                "colour_group_name": (ids % 50 + 1).astype(np.int32),
+            }
+
+    cand_fn = jax.jit(model.candidate_forward)
+
+    def embed_fn(b):
+        return cand_fn(
+            params, {k: jnp.asarray(v) for k, v in b.items()}
+        )
+
+    if e2e:
+        t0 = time.time()
+        QuantizedIndex.build_from_batches(
+            100,
+            "article_id",
+            embed_fn,
+            host_batches(),
+            batch,
+            rescore=False,
+        )
+        e2e_dt = time.time() - t0
+        out["e2e_rows_per_s"] = N / e2e_dt
+        out["e2e_s"] = e2e_dt
+
+    if distributed:
+        from hm_retrieval_tpu.indices.distributed import (
+            DistributedQuantizedIndex,
+        )
+        from hm_retrieval_tpu.parallel import make_mesh
+
+        mesh = make_mesh(data=1, model=len(jax.devices()))
+        t0 = time.time()
+        DistributedQuantizedIndex.build_from_batches(
+            100,
+            "article_id",
+            embed_fn,
+            host_batches(),
+            batch,
+            mesh=mesh,
+            num_candidates=N,
+            dim=E,
+            rescore=False,
+            method=(
+                "pallas"
+                if jax.default_backend() == "tpu"
+                else "scan"
+            ),
+        )
+        sh_dt = time.time() - t0
+        out["sharded_rows_per_s"] = N / sh_dt
+        out["sharded_s"] = sh_dt
+        out["sharded_devices"] = len(jax.devices())
+    return out
 
 
 def bench_training_distributed(
@@ -835,6 +1027,13 @@ def main():
         "pooling) training step",
     )
     ap.add_argument(
+        "--bsweep",
+        action="store_true",
+        help="also sweep the training batch size (512/2048/8192) at "
+        "the selected scale — the single-chip saturation curve "
+        "multi-chip DP projections stand on",
+    )
+    ap.add_argument(
         "--distributed",
         action="store_true",
         help="also run the mesh-distributed stages over every local "
@@ -911,8 +1110,10 @@ def main():
         details["quantized_1m_global"] = bench_quantized(
             50, 1024, 1_048_576, 128, 100, scale_mode="global"
         )
-    if args.full:
-        # the reference's own operating point: k = max(ks) = 1000
+    if not args.skip_retrieval and args.scale == "hm":
+        # the reference's own operating point (k = max(ks) = 1000,
+        # ref main.py:107) ships in the DEFAULT run so the driver
+        # captures it every round (verdict r4 #9)
         details["retrieval_k1000"] = bench_retrieval(
             20, 1024, 131072, 128, 1000, method="pallas"
         )
@@ -923,6 +1124,14 @@ def main():
         details["quantized_1m_k1000"] = bench_quantized(
             20, 1024, 1_048_576, 128, 1000,
             oversample=1, L=2048, q_block=128, fold=1,
+        )
+    if args.scale == "hm":
+        # per-epoch index rebuild throughput (verdict r4 #5): embed +
+        # quantize on device, plus the real build_from_batches wall
+        # clock (host edge included; through the relay it is
+        # download-dominated — the phase split attributes it)
+        details["index_build_1m"] = bench_index_build(
+            1_048_576, 128, distributed=args.distributed
         )
     if args.seq and args.scale != "hm":
         ap.error("--seq measures the H&M-scale tower; use --scale hm")
@@ -939,6 +1148,17 @@ def main():
                 "examples_per_s": r[
                     "train_examples_per_s_per_chip"
                 ],
+                "step_ms": r["train_step_ms"],
+                "spread": r["train_examples_per_s_spread"],
+            }
+    if args.bsweep:
+        details["bsweep"] = {}
+        for b in (512, 2048, 8192):
+            r = bench_training(
+                args.steps, b, repeats=args.repeats, **sizes
+            )
+            details["bsweep"][str(b)] = {
+                "examples_per_s": r["train_examples_per_s_per_chip"],
                 "step_ms": r["train_step_ms"],
                 "spread": r["train_examples_per_s_spread"],
             }
@@ -959,6 +1179,13 @@ def main():
         )
         details["quantized_10m_global"] = bench_quantized(
             20, 1024, 10_000_000, 64, 100, scale_mode="global"
+        )
+    if args.full:
+        # config[2]-scale rebuild: 10M items, E=64 (e2e pulls the
+        # 2.5GB fp32 catalog through the tunnel — minutes; the
+        # device-only phases are the hardware numbers)
+        details["index_build_10m"] = bench_index_build(
+            10_000_000, 64, e2e=False
         )
 
     with open("bench_results.json", "w") as f:
@@ -1008,6 +1235,15 @@ def main():
                     details[k].get("retrieval_queries_per_s", 0),
                 ),
                 1,
+            )
+    if "index_build_1m" in details:
+        ib = details["index_build_1m"]
+        line["index_build_1m_embed_rows_per_s"] = round(
+            ib["embed_rows_per_s"], 1
+        )
+        if "e2e_rows_per_s" in ib:
+            line["index_build_1m_e2e_rows_per_s"] = round(
+                ib["e2e_rows_per_s"], 1
             )
     print(json.dumps(line))
 
