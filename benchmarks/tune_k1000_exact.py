@@ -1,0 +1,143 @@
+"""Tune the EXACT Pallas kernel at the reference's k=1000 serving point
+(verdict r4 #3: the per-round merges, not the streaming passes, bound
+this kernel — `lax.top_k` is width-sort-bound and k-independent).
+
+Measures, on the real chip with the DCE-safe harness:
+1. the single-sort merge (round 5) vs the recorded two-stage baselines
+   (77.5 ms @131k / 103.8 ms @1M, BASELINE.md);
+2. a (q_block, L) sweep at k=1000 — bigger blocks amortize the
+   small-row sort penalty (top_k at 128 rows measured ~4x worse per
+   row), smaller L trades merge width for extra refinement rounds.
+
+Usage:  timeout 1800 python benchmarks/tune_k1000_exact.py [--n 131072]
+"""
+
+import argparse
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from benchmarks.timing_util import consume, recall_vs  # noqa: E402
+
+from hm_retrieval_tpu.ops.pallas_retrieval import (  # noqa: E402
+    pallas_exact_topk,
+    vmem_budget,
+    vmem_estimate,
+)
+
+
+def time_exact(q, c, k, L, q_block, iters, max_rounds=12):
+    @jax.jit
+    def run(q, c, salt):
+        def body(acc, i):
+            qq = jnp.roll(q, i + salt, axis=0)
+            v, idx, r = pallas_exact_topk(
+                qq, c, k, L=L, q_block=q_block, max_rounds=max_rounds
+            )
+            return acc + consume((v, idx, r)), None
+
+        acc, _ = jax.lax.scan(
+            body, jnp.float32(0), jnp.arange(iters)
+        )
+        return acc
+
+    float(run(q, c, jnp.int32(0)))  # compile + warm
+    dt = float("inf")
+    for salt in (1, 2):
+        t0 = time.time()
+        float(run(q, c, jnp.int32(salt)))
+        dt = min(dt, (time.time() - t0) / iters)
+    # rounds + exactness on one batch
+    v, idx, r = jax.jit(
+        lambda q, c: pallas_exact_topk(
+            q, c, k, L=L, q_block=q_block, max_rounds=max_rounds
+        )
+    )(q, c)
+    return dt, int(r), np.asarray(idx)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=131072)
+    ap.add_argument("--b", type=int, default=1024)
+    ap.add_argument("--e", type=int, default=128)
+    ap.add_argument("--k", type=int, default=1000)
+    ap.add_argument("--iters", type=int, default=20)
+    args = ap.parse_args()
+    B, N, E, k = args.b, args.n, args.e, args.k
+
+    q = jax.jit(
+        lambda: jax.random.normal(
+            jax.random.PRNGKey(0), (B, E), jnp.float32
+        )
+    )()
+    c = jax.jit(
+        lambda: jax.random.normal(
+            jax.random.PRNGKey(1), (N, E), jnp.float32
+        )
+    )()
+    jax.block_until_ready((q, c))
+
+    # exact oracle (XLA top_k over materialized scores) on one batch
+    oracle = jax.jit(
+        lambda q, c: jax.lax.top_k(
+            jnp.dot(
+                q.astype(jnp.bfloat16),
+                c.astype(jnp.bfloat16).T,
+                preferred_element_type=jnp.float32,
+            ),
+            k,
+        )[1]
+    )(q, c)
+    oracle = np.asarray(oracle)
+
+    grid = [
+        (128, 2048),   # round-4 auto config (recorded 77.5ms @131k)
+        (128, 4096),
+        (256, 2048),
+        (256, 1024),
+        (512, 1024),
+        (512, 2048),
+        (1024, 1024),
+    ]
+    print(
+        f"B={B} N={N} E={E} k={k} iters={args.iters} "
+        f"vmem_budget={vmem_budget()/1e6:.0f}MB",
+        flush=True,
+    )
+    for q_block, L in grid:
+        if L < k:
+            continue
+        est = vmem_estimate(min(B, q_block), E, L, 2)
+        if est > vmem_budget():
+            print(
+                f"q_block={q_block:5d} L={L:5d}  VMEM "
+                f"{est/1e6:.1f}MB infeasible",
+                flush=True,
+            )
+            continue
+        try:
+            dt, rounds, idx = time_exact(
+                q, c, k, L, q_block, args.iters
+            )
+        except Exception as ex:  # noqa: BLE001
+            print(
+                f"q_block={q_block:5d} L={L:5d}  FAILED: {ex}",
+                flush=True,
+            )
+            continue
+        rec = recall_vs(oracle, idx)
+        print(
+            f"q_block={q_block:5d} L={L:5d}  {dt*1e3:7.2f} ms  "
+            f"{B/dt:9.0f} q/s  rounds={rounds}  recall={rec:.4f}",
+            flush=True,
+        )
+
+
+if __name__ == "__main__":
+    main()

@@ -1128,12 +1128,29 @@ def _topk_rounds(
     def body(state):
         lead_v, lead_i, thr_s, thr_i, _, r = state
         vals, idxs, nthr_s, nthr_i = run_round(thr_s, thr_i)
-        cand_v, sel = lax.top_k(vals, k)
-        cand_i = jnp.take_along_axis(idxs, sel, axis=1)
-        all_v = jnp.concatenate([lead_v, cand_v], axis=1)
-        all_i = jnp.concatenate([lead_i, cand_i], axis=1)
-        new_v, msel = lax.top_k(all_v, k)
-        new_i = jnp.take_along_axis(all_i, msel, axis=1)
+
+        # ONE width-(k + 2L) sort merges leaderboard + revealed
+        # directly. The two-stage form (top_k(vals, k) then
+        # top_k(concat(lead, cand), k)) sorted 2L + 2k elements in two
+        # ops; at k=1000 the merges dominate the whole kernel
+        # (width-sort-bound, k-independent — BASELINE.md), so the
+        # single-sort merge is strictly less work and one fewer
+        # fixed-cost sort per round.
+        def merged(_):
+            all_v = jnp.concatenate([lead_v, vals], axis=1)
+            all_i = jnp.concatenate([lead_i, idxs], axis=1)
+            new_v, msel = lax.top_k(all_v, k)
+            return new_v, jnp.take_along_axis(all_i, msel, axis=1)
+
+        # Late refinement rounds often reveal nothing that beats the
+        # current k-th value; a revealed element <= tau cannot change
+        # the top-k VALUES (same tie semantics as the stop rule), so
+        # the width sort is skipped entirely for such rounds — one
+        # cheap reduction guards a ~ms-class sort.
+        improved = jnp.any(vals > lead_v[:, k - 1][:, None])
+        new_v, new_i = lax.cond(
+            improved, merged, lambda _: (lead_v, lead_i), None
+        )
         done = hidden_dominated(nthr_s, new_v[:, k - 1])
         return new_v, new_i, nthr_s, nthr_i, done, r + 1
 
@@ -1246,10 +1263,9 @@ def _topk_rounds_lockstep(
     def body(state):
         lead_v, lead_i, thr_s, thr_i, _, r = state
         vals, idxs, nthr_s, nthr_i = run_all(thr_s, thr_i)
-        cand_v, sel = lax.top_k(vals, k)
-        cand_i = jnp.take_along_axis(idxs, sel, axis=1)
-        all_v = jnp.concatenate([lead_v, cand_v], axis=1)
-        all_i = jnp.concatenate([lead_i, cand_i], axis=1)
+        # single-sort merge (see _topk_rounds.body)
+        all_v = jnp.concatenate([lead_v, vals], axis=1)
+        all_i = jnp.concatenate([lead_i, idxs], axis=1)
         new_v, msel = lax.top_k(all_v, k)
         new_i = jnp.take_along_axis(all_i, msel, axis=1)
         done = hidden_dominated(nthr_s, new_v[:, k - 1])
