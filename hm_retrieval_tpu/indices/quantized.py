@@ -42,6 +42,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from hm_retrieval_tpu.ops.topk import topk_pair
+
 logger = logging.getLogger(__name__)
 
 Batch = Dict[str, jax.Array]
@@ -394,8 +396,7 @@ class QuantizedIndex:
             ci = ci.astype(jnp.int32) + base_c
             ms = jnp.concatenate([top_s, cs], axis=1)
             mi = jnp.concatenate([top_i, ci], axis=1)
-            ns, sel = jax.lax.top_k(ms, k_over)
-            ni = jnp.take_along_axis(mi, sel, axis=1)
+            ns, ni = topk_pair(ms, mi, k_over)
             return (ns, ni), None
 
         init = (
@@ -424,8 +425,7 @@ class QuantizedIndex:
             # aliases a REAL row — rescoring it to a real score would
             # crowd the true top-k out with duplicates.
             exact = jnp.where(jnp.isneginf(top_s), -jnp.inf, exact)
-            top_s, sel = jax.lax.top_k(exact, k)
-            top_i = jnp.take_along_axis(top_i, sel, axis=1)
+            top_s, top_i = topk_pair(exact, top_i, k)
         else:
             # Dequantize to true score scale (t folds back in here).
             top_s = top_s[:, :k] * t
@@ -485,8 +485,7 @@ class QuantizedIndex:
             # valid elements), so no -inf resurrection case here; the
             # guard keeps the invariant explicit anyway.
             exact = jnp.where(jnp.isneginf(top_s), -jnp.inf, exact)
-            top_s, sel = jax.lax.top_k(exact, k)
-            top_i = jnp.take_along_axis(top_i, sel, axis=1)
+            top_s, top_i = topk_pair(exact, top_i, k)
         return top_s, jnp.take(identifiers, top_i)
 
     @staticmethod
@@ -532,8 +531,7 @@ class QuantizedIndex:
                 preferred_element_type=jnp.float32,
             )
             exact = jnp.where(jnp.isneginf(top_s), -jnp.inf, exact)
-            top_s, sel = jax.lax.top_k(exact, k)
-            top_i = jnp.take_along_axis(top_i, sel, axis=1)
+            top_s, top_i = topk_pair(exact, top_i, k)
         return top_s, jnp.take(identifiers, top_i)
 
     def topk_from_embeddings(self, query_embeddings: jax.Array):

@@ -40,6 +40,8 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+from hm_retrieval_tpu.ops.topk import topk_pair
+
 
 @partial(
     jax.jit, static_argnames=("k", "max_rounds", "recall_target")
@@ -79,8 +81,7 @@ def exact_topk_scores(
         # merge into leaderboard
         all_v = jnp.concatenate([lead_v, cand_v], axis=1)
         all_i = jnp.concatenate([lead_i, cand_i], axis=1)
-        new_v, sel = lax.top_k(all_v, k)
-        new_i = jnp.take_along_axis(all_i, sel, axis=1)
+        new_v, new_i = topk_pair(all_v, all_i, k)
         # Stop when this round's BEST new candidate is below the current
         # k-th best in every row. (The k-th-candidate test is NOT sound: a
         # hidden element x can sit just under a returned winner y in the

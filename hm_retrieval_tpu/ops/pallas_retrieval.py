@@ -37,6 +37,8 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from hm_retrieval_tpu.ops.topk import topk_pair
+
 NEG_INF = float("-inf")  # plain python scalars: jnp constants would be
 BIG_IDX = 2**31 - 1      # captured tracers inside the pallas kernel
 
@@ -1104,8 +1106,7 @@ def _topk_rounds(
         )
 
     vals, idxs, thr_s, thr_i = run_first()
-    lead_v, sel = lax.top_k(vals, k)
-    lead_i = jnp.take_along_axis(idxs, sel, axis=1)
+    lead_v, lead_i = topk_pair(vals, idxs, k)
 
     def hidden_dominated(nthr_s, tau_hat):
         """True iff no unrevealed element can beat the current k-th
@@ -1139,8 +1140,7 @@ def _topk_rounds(
         def merged(_):
             all_v = jnp.concatenate([lead_v, vals], axis=1)
             all_i = jnp.concatenate([lead_i, idxs], axis=1)
-            new_v, msel = lax.top_k(all_v, k)
-            return new_v, jnp.take_along_axis(all_i, msel, axis=1)
+            return topk_pair(all_v, all_i, k)
 
         # Late refinement rounds often reveal nothing that beats the
         # current k-th value; a revealed element <= tau cannot change
@@ -1248,8 +1248,7 @@ def _topk_rounds_lockstep(
         )
 
     vals, idxs, thr_s, thr_i = run_first()
-    lead_v, sel = lax.top_k(vals, k)          # ONE full-width merge
-    lead_i = jnp.take_along_axis(idxs, sel, axis=1)
+    lead_v, lead_i = topk_pair(vals, idxs, k)  # ONE full-width merge
 
     def hidden_dominated(nthr_s, tau_hat):
         return jnp.all(jnp.max(nthr_s, axis=1) < tau_hat)
@@ -1266,8 +1265,7 @@ def _topk_rounds_lockstep(
         # single-sort merge (see _topk_rounds.body)
         all_v = jnp.concatenate([lead_v, vals], axis=1)
         all_i = jnp.concatenate([lead_i, idxs], axis=1)
-        new_v, msel = lax.top_k(all_v, k)
-        new_i = jnp.take_along_axis(all_i, msel, axis=1)
+        new_v, new_i = topk_pair(all_v, all_i, k)
         done = hidden_dominated(nthr_s, new_v[:, k - 1])
         return new_v, new_i, nthr_s, nthr_i, done, r + 1
 
@@ -1552,14 +1550,12 @@ def pallas_quantized_topk_global(
             if T > k:
                 # pre-reduce the tail to its exact top-k so the final
                 # merge stays O(2L + k) wide, not O(2L + chunk_cols)
-                ts, sel = lax.top_k(ts, k)
-                ti = jnp.take_along_axis(ti, sel, axis=1)
+                ts, ti = topk_pair(ts, ti, k)
             vals_parts.append(ts)
             idx_parts.append(ti)
         vals = jnp.concatenate(vals_parts, axis=1)
         ids = jnp.concatenate(idx_parts, axis=1)
-        v, sel = lax.top_k(vals, k)
-        i = jnp.take_along_axis(ids, sel, axis=1)
+        v, i = topk_pair(vals, ids, k)
         vs.append(v * g)  # one O(B*k) dequantization at the end
         idxs.append(i)
     if len(vs) == 1:
@@ -1715,11 +1711,10 @@ def pallas_quantized_topk(
                     L,
                     interpret,
                 )
-            v, sel = lax.top_k(
-                jnp.concatenate([m1, m2], axis=1), k
-            )
-            i = jnp.take_along_axis(
-                jnp.concatenate([a1, a2], axis=1), sel, axis=1
+            v, i = topk_pair(
+                jnp.concatenate([m1, m2], axis=1),
+                jnp.concatenate([a1, a2], axis=1),
+                k,
             )
             vs.append(v)
             idxs.append(i)

@@ -23,6 +23,28 @@ import jax.numpy as jnp
 from jax import lax
 
 
+def topk_pair(vals: jax.Array, ids: jax.Array, k: int):
+    """Exact row-wise top-k over (value, id) pairs, ids as payload.
+
+    For small k, ``lax.top_k`` + a row-wise gather: top_k lowers to the
+    hardware PartialReduce and the (B, k) gather is cheap. For large k,
+    ONE stable variadic sort carries the ids alongside the values
+    (``num_keys=1``) — measured 5x on v5e at (1024, 4096) -> k=1000,
+    where the row-wise ``take_along_axis`` gather (10.6 of 12.2 ms),
+    not the sort, was the cost (BASELINE.md round 5).
+
+    Ties: both paths order equal values by position (stable sort /
+    top_k contract), so results are identical.
+    """
+    if k <= 256:
+        v, sel = lax.top_k(vals, k)
+        return v, jnp.take_along_axis(ids, sel, axis=1)
+    nv, ni = lax.sort(
+        (-vals, ids), num_keys=1, is_stable=True
+    )
+    return -nv[..., :k], ni[..., :k]
+
+
 @partial(jax.jit, static_argnames=("k",))
 def topk_dot(
     queries: jax.Array,      # (B, E)
@@ -65,8 +87,7 @@ def topk_dot_chunked(
         ci = ci + start
         all_s = jnp.concatenate([best_s, cs], axis=1)
         all_i = jnp.concatenate([best_i, ci], axis=1)
-        ns, sel = lax.top_k(all_s, k)
-        ni = jnp.take_along_axis(all_i, sel, axis=1)
+        ns, ni = topk_pair(all_s, all_i, k)
         return (ns, ni), None
 
     init = (
@@ -88,5 +109,4 @@ def merge_topk(
     S, B, ks = shard_scores.shape
     flat_s = jnp.transpose(shard_scores, (1, 0, 2)).reshape(B, S * ks)
     flat_i = jnp.transpose(shard_ids, (1, 0, 2)).reshape(B, S * ks)
-    ns, sel = lax.top_k(flat_s, k)
-    return ns, jnp.take_along_axis(flat_i, sel, axis=1)
+    return topk_pair(flat_s, flat_i, k)

@@ -22,6 +22,7 @@ import numpy as np
 from jax import shard_map
 from jax.sharding import NamedSharding, PartitionSpec as P
 
+from hm_retrieval_tpu.ops.topk import topk_pair
 from hm_retrieval_tpu.parallel.mesh import (
     DATA_AXIS,
     MODEL_AXIS,
@@ -126,8 +127,7 @@ def make_distributed_topk(
         S, B, _ = all_s.shape
         flat_s = jnp.transpose(all_s, (1, 0, 2)).reshape(B, S * kk)
         flat_i = jnp.transpose(all_i, (1, 0, 2)).reshape(B, S * kk)
-        ms, sel = jax.lax.top_k(flat_s, k)
-        return ms, jnp.take_along_axis(flat_i, sel, axis=1)
+        return topk_pair(flat_s, flat_i, k)
 
     q_spec = P(DATA_AXIS) if data_sharded_queries else P()
     return shard_map(
@@ -293,8 +293,7 @@ def make_distributed_quantized_topk(
             ) + jnp.take(bias_shard, ci)
             # Never resurrect unfilled/-inf survivor slots as real rows.
             exact = jnp.where(jnp.isneginf(cs), -jnp.inf, exact)
-            ls, sel = jax.lax.top_k(exact, kk)
-            li = jnp.take_along_axis(ci, sel, axis=1)
+            ls, li = topk_pair(exact, ci, kk)
         elif method == "pallas":
             # already true-scale dequantized scores (bf16 queries)
             ls, li = cs[:, :kk], ci[:, :kk]
@@ -308,8 +307,7 @@ def make_distributed_quantized_topk(
         S, B, _ = all_s.shape
         flat_s = jnp.transpose(all_s, (1, 0, 2)).reshape(B, S * kk)
         flat_i = jnp.transpose(all_i, (1, 0, 2)).reshape(B, S * kk)
-        ms, sel = jax.lax.top_k(flat_s, k)
-        return ms, jnp.take_along_axis(flat_i, sel, axis=1)
+        return topk_pair(flat_s, flat_i, k)
 
     q_spec = P(DATA_AXIS) if data_sharded_queries else P()
 
