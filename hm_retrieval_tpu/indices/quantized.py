@@ -123,7 +123,10 @@ def quantize_rows(embeddings: np.ndarray):
     """Symmetric per-row int8 quantization: returns (int8 codes,
     fp32 per-row scales). Zero rows get scale 1 (codes all 0)."""
     emb = np.asarray(embeddings, np.float32)
-    scales = np.max(np.abs(emb), axis=1) / 127.0
+    # fp32 constant-reciprocal multiply (no float64 promotion, no
+    # compiler-dependent div->mul rewrite): bit-identical to the jitted
+    # device build in _quantize_pad_device
+    scales = np.max(np.abs(emb), axis=1) * np.float32(1.0 / 127.0)
     scales = np.where(scales > 0, scales, 1.0).astype(np.float32)
     codes = np.clip(
         np.rint(emb / scales[:, None]), -127, 127
@@ -139,9 +142,47 @@ def quantize_rows_global(embeddings: np.ndarray):
     FMA entirely (ops/pallas_retrieval.py::pallas_quantized_topk_global)
     at the cost of coarser resolution for small-norm rows."""
     emb = np.asarray(embeddings, np.float32)
-    g = float(np.max(np.abs(emb)) / 127.0) or 1.0
+    g = np.max(np.abs(emb)) * np.float32(1.0 / 127.0)
+    g = np.float32(g) if g > 0 else np.float32(1.0)
     codes = np.clip(np.rint(emb / g), -127, 127).astype(np.int8)
     return codes, np.float32(g)
+
+
+@partial(jax.jit, static_argnums=(1, 2, 3))
+def _quantize_pad_device(emb, n_pad, scale_mode, keep_fp32):
+    """Device-side analog of quantize_rows(_global) + padding: same
+    numerics (rint, clip to +-127, zero rows -> scale 1, padded tail
+    scored -inf via the bias row). Returns (codes, scales, bias,
+    fp32 rescore table or None, global scale or 0)."""
+    n = emb.shape[0]
+    if scale_mode == "global":
+        g = jnp.max(jnp.abs(emb)) * np.float32(1.0 / 127.0)
+        g = jnp.where(g > 0, g, 1.0).astype(jnp.float32)
+        scales = jnp.full((n,), g, jnp.float32)
+    else:
+        g = jnp.float32(0)
+        scales = jnp.max(jnp.abs(emb), axis=1) * np.float32(
+            1.0 / 127.0
+        )
+        scales = jnp.where(scales > 0, scales, 1.0).astype(
+            jnp.float32
+        )
+    codes = jnp.clip(
+        jnp.rint(emb / scales[:, None]), -127, 127
+    ).astype(jnp.int8)
+    pad = n_pad - n
+    codes_p = jnp.pad(codes, ((0, pad), (0, 0)))
+    scales_p = jnp.pad(scales, (0, pad))
+    bias = jnp.concatenate(
+        [
+            jnp.zeros((n,), jnp.float32),
+            jnp.full((pad,), -jnp.inf, jnp.float32),
+        ]
+    )
+    emb_p = (
+        jnp.pad(emb, ((0, pad), (0, 0))) if keep_fp32 else None
+    )
+    return codes_p, scales_p, bias, emb_p, g
 
 
 class QuantizedIndex:
@@ -236,8 +277,16 @@ class QuantizedIndex:
         self.pallas_fold = (
             None if pallas_fold is None else int(pallas_fold)
         )
+        # Device-resident construction: embeddings already on device
+        # (e.g. straight out of the candidate tower, or synthesized on
+        # device — uploading a multi-GB fp32 catalog through a slow
+        # host<->device link would dominate build time). Quantization
+        # and padding then run jitted on device; the host never holds
+        # the catalog.
+        on_device = isinstance(embeddings, jax.Array)
         identifiers = np.asarray(identifiers)
-        embeddings = np.asarray(embeddings, np.float32)
+        if not on_device:
+            embeddings = np.asarray(embeddings, np.float32)
         if identifiers.ndim != 1 or embeddings.ndim != 2:
             raise ValueError(
                 "identifiers must be (N,), embeddings (N, E)"
@@ -282,6 +331,28 @@ class QuantizedIndex:
             embeddings.shape[1],
         )
 
+        ids = np.zeros((n_pad,), identifiers.dtype)
+        ids[: self.num_candidates] = identifiers
+        self.identifiers = jnp.asarray(ids)
+
+        if on_device:
+            codes_p, scales_p, bias, emb_p, g = (
+                _quantize_pad_device(
+                    embeddings.astype(jnp.float32),
+                    n_pad,
+                    scale_mode,
+                    self.rescore,
+                )
+            )
+            self.global_scale = (
+                float(g) if scale_mode == "global" else None
+            )
+            self.codes = codes_p
+            self.scales = scales_p
+            self._score_bias = bias
+            self.embeddings: Optional[jax.Array] = emb_p
+            return
+
         if scale_mode == "global":
             codes, g = quantize_rows_global(embeddings)
             scales = np.full((len(codes),), g, np.float32)
@@ -295,19 +366,16 @@ class QuantizedIndex:
         scales_p[: self.num_candidates] = scales
         bias = np.zeros((n_pad,), np.float32)
         bias[self.num_candidates:] = -np.inf
-        ids = np.zeros((n_pad,), identifiers.dtype)
-        ids[: self.num_candidates] = identifiers
 
         self.codes = jnp.asarray(codes_p)
         self.scales = jnp.asarray(scales_p)
         self._score_bias = jnp.asarray(bias)
-        self.identifiers = jnp.asarray(ids)
         if self.rescore:
             emb_p = np.zeros(
                 (n_pad, embeddings.shape[1]), np.float32
             )
             emb_p[: self.num_candidates] = embeddings
-            self.embeddings: Optional[jax.Array] = jnp.asarray(emb_p)
+            self.embeddings = jnp.asarray(emb_p)
         else:
             self.embeddings = None
 

@@ -98,6 +98,13 @@ class Feature:
     _seq_native_for: object = field(
         default=None, repr=False, compare=False
     )
+    # id -> token decode table (OOV-padded copy of vocab; built lazily)
+    _decode_table: object = field(
+        default=None, repr=False, compare=False
+    )
+    _decode_table_for: object = field(
+        default=None, repr=False, compare=False
+    )
 
     def __post_init__(self):
         self.kind = FeatureKind(self.kind)
@@ -365,7 +372,18 @@ class Feature:
         if self.vocab is None:
             raise ValueError(f"feature {self.name!r} has no vocab")
         ids = np.asarray(ids)
-        padded = np.concatenate([np.array(["<OOV>"]), self.vocab])
+        # cache the OOV-padded table (identity-keyed like _native_for):
+        # rebuilding it copies the whole vocab — measured 21 ms per
+        # call on a 1M-entry vocab, dwarfing the actual (B, k) gather
+        if (
+            self._decode_table is None
+            or self._decode_table_for is not self.vocab
+        ):
+            self._decode_table = np.concatenate(
+                [np.array(["<OOV>"]), self.vocab]
+            )
+            self._decode_table_for = self.vocab
+        padded = self._decode_table
         safe = np.where((ids >= 0) & (ids < len(padded)), ids, 0)
         return padded[safe]
 

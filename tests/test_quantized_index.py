@@ -508,3 +508,58 @@ class TestSingleQueryServing:
             set(np.asarray(got)[0]) & set(np.asarray(want)[0])
         )
         assert overlap >= k - 1
+
+
+class TestDeviceConstruction:
+    """Device-resident construction: handing the constructor a
+    jax.Array quantizes + pads on device (no host round trip for the
+    catalog — the path the serving-edge bench uses for a 1M catalog
+    behind a slow host<->device link) and must match the host-numpy
+    build exactly."""
+
+    @pytest.mark.parametrize("scale_mode", ["per_row", "global"])
+    @pytest.mark.parametrize("rescore", [True, False])
+    def test_matches_host_build(self, rng, scale_mode, rescore):
+        n, e, k = 1500, 16, 7
+        emb = rng.normal(size=(n, e)).astype(np.float32)
+        emb[3] = 0.0  # zero row: scale-1 convention must carry over
+        ids = np.arange(1, n + 1, dtype=np.int32)
+        host = QuantizedIndex(
+            k, ids, emb, rescore=rescore, scale_mode=scale_mode
+        )
+        dev = QuantizedIndex(
+            k,
+            ids,
+            jnp.asarray(emb),
+            rescore=rescore,
+            scale_mode=scale_mode,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(dev.codes), np.asarray(host.codes)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(dev.scales), np.asarray(host.scales)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(dev._score_bias),
+            np.asarray(host._score_bias),
+        )
+        assert dev.global_scale == host.global_scale
+        if rescore:
+            np.testing.assert_array_equal(
+                np.asarray(dev.embeddings),
+                np.asarray(host.embeddings),
+            )
+        else:
+            assert dev.embeddings is None
+        q = jnp.asarray(
+            rng.normal(size=(9, e)).astype(np.float32)
+        )
+        hs, hi = host.topk_from_embeddings(q)
+        ds, di = dev.topk_from_embeddings(q)
+        np.testing.assert_array_equal(
+            np.asarray(di), np.asarray(hi)
+        )
+        np.testing.assert_allclose(
+            np.asarray(ds), np.asarray(hs), rtol=1e-6
+        )

@@ -66,6 +66,18 @@ class TestFeature:
         toks = f.decode(np.array([2, 0, 1]))
         assert list(toks) == ["y", "<OOV>", "x"]
 
+    def test_decode_table_cached_and_invalidated(self):
+        """decode must not rebuild the OOV-padded vocab copy per call
+        (21 ms/call on a 1M vocab — the serving-edge bottleneck), and
+        must rebuild it when the vocab is replaced."""
+        f = make_feature(vocab=np.array(["x", "y"]))
+        f.decode(np.array([1]))
+        table = f._decode_table
+        f.decode(np.array([2]))
+        assert f._decode_table is table
+        f.vocab = np.array(["p", "q", "r"])
+        assert list(f.decode(np.array([3, 1]))) == ["r", "p"]
+
     def test_numeric_rejects_embedding(self):
         with pytest.raises(ValueError):
             Feature(
