@@ -155,6 +155,12 @@ def measure_null_roundtrip(n: int = 5) -> float:
     return float(np.median(ts))
 
 
+# single-chip saturation sweep points (BASELINE.md B-sweep): shared by
+# bench.py --bsweep and benchmarks/bsweep_training.py so the curve has
+# one definition
+BSWEEP_BATCHES = (512, 2048, 8192)
+
+
 def bench_training(
     steps: int,
     batch: int,
@@ -705,10 +711,15 @@ def bench_index_build(
         acc, _ = jax.lax.scan(body, 0.0, jnp.arange(n_b))
         return acc
 
+    # median of 3 timed dispatches on distinct salts (CLAUDE.md timing
+    # rules: a single dispatch+fetch carries ~25ms of relay roundtrip)
     float(embed_scan(params, jnp.int32(0)))  # compile + warm
-    t0 = time.time()
-    float(embed_scan(params, jnp.int32(1)))
-    embed_dt = time.time() - t0
+    embed_dts = []
+    for salt in (1, 2, 3):
+        t0 = time.time()
+        float(embed_scan(params, jnp.int32(salt)))
+        embed_dts.append(time.time() - t0)
+    embed_dt = float(np.median(embed_dts))
 
     c = jax.jit(
         lambda: jax.random.normal(
@@ -716,20 +727,40 @@ def bench_index_build(
         )
     )()
 
+    # the quantize kernel is only ~1-3ms of device time at N=1M: loop
+    # it R times ON DEVICE so the dispatch roundtrip amortizes
+    QR = 20
+
     @jax.jit
     def quant(c, salt):
-        c = jnp.roll(c, salt, axis=0)
-        scales = jnp.max(jnp.abs(c), axis=1) / 127.0
-        scales = jnp.where(scales > 0, scales, 1.0)
-        codes = jnp.clip(
-            jnp.rint(c / scales[:, None]), -127, 127
-        ).astype(jnp.int8)
-        return jnp.sum(codes.astype(jnp.int32)) + jnp.sum(scales)
+        def body(carry, i):
+            # scalar multiply (fuses into both consumers) defeats
+            # loop-invariant hoisting without a roll's full-copy cost
+            cc = c * (1.0 + (i + salt).astype(jnp.float32) * 1e-6)
+            scales = jnp.max(jnp.abs(cc), axis=1) / 127.0
+            scales = jnp.where(scales > 0, scales, 1.0)
+            codes = jnp.clip(
+                jnp.rint(cc / scales[:, None]), -127, 127
+            ).astype(jnp.int8)
+            return (
+                carry
+                + jnp.sum(codes.astype(jnp.int32)).astype(
+                    jnp.float32
+                )
+                + jnp.sum(scales),
+                None,
+            )
+
+        acc, _ = jax.lax.scan(body, 0.0, jnp.arange(QR))
+        return acc
 
     float(quant(c, jnp.int32(0)))
-    t0 = time.time()
-    float(quant(c, jnp.int32(1)))
-    quant_dt = time.time() - t0
+    quant_dts = []
+    for salt in (1, 2, 3):
+        t0 = time.time()
+        float(quant(c, jnp.int32(salt)))
+        quant_dts.append((time.time() - t0) / QR)
+    quant_dt = float(np.median(quant_dts))
 
     out = {
         "config": {"N": N, "E": E, "batch": batch},
@@ -1153,7 +1184,7 @@ def main():
             }
     if args.bsweep:
         details["bsweep"] = {}
-        for b in (512, 2048, 8192):
+        for b in BSWEEP_BATCHES:
             r = bench_training(
                 args.steps, b, repeats=args.repeats, **sizes
             )

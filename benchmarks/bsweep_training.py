@@ -21,7 +21,7 @@ import sys
 
 sys.path.insert(0, ".")
 
-from bench import bench_training  # noqa: E402
+from bench import BSWEEP_BATCHES, bench_training  # noqa: E402
 
 SCALES = {
     "hm": dict(n_customers=1_371_980, n_articles=105_542, emb_dim=128),
@@ -34,7 +34,7 @@ def main():
     results = {}
     for scale, kw in SCALES.items():
         base = None
-        for B in (512, 2048, 8192):
+        for B in BSWEEP_BATCHES:
             r = bench_training(600, B, sparse=True, **kw)
             eps = r["train_examples_per_s_per_chip"]
             if base is None:

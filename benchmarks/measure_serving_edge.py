@@ -101,15 +101,10 @@ def main():
         lambda p, b: tower_forward(p, features, b)
     )
 
-    # null roundtrip for context
-    f = jax.jit(lambda x: x + 1.0)
-    float(f(jnp.float32(0)))
-    rts = []
-    for i in range(5):
-        t0 = time.time()
-        float(f(jnp.float32(i)))
-        rts.append(time.time() - t0)
-    null_rt = float(np.median(rts)) * 1e3
+    # null roundtrip for context (bench.py's canonical measurement)
+    from bench import measure_null_roundtrip
+
+    null_rt = measure_null_roundtrip() * 1e3
     print(f"null dispatch+fetch roundtrip: {null_rt:.1f} ms", flush=True)
 
     for B in (1, 16, 128):

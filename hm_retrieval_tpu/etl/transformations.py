@@ -99,7 +99,15 @@ def add_history_column(
     )
     if date_col is not None:
         # few distinct dates -> cheap sortable int codes
-        date_codes, _ = pd.factorize(df[date_col], sort=True)
+        date_codes, date_uniques = pd.factorize(
+            df[date_col], sort=True
+        )
+        # factorize marks missing dates -1, which would lexsort FIRST;
+        # sort_values puts NaN last (na_position default), so remap to
+        # a code above every real date to match the row-loop oracle
+        date_codes = np.where(
+            date_codes < 0, len(date_uniques), date_codes
+        )
     else:
         date_codes = np.zeros(n, np.int64)
     # stable: primary user, secondary date, ties keep original order —

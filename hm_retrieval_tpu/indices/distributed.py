@@ -106,8 +106,9 @@ def _gathered_shard(arr, s: int, per: int, mesh, shape, dtype):
     """Host copy of model shard ``s`` of a P(model, ...)-sharded global
     array on EVERY process. Single-process: a plain device->host pull.
     Multi-process: collective — the owning process pulls the shard and
-    peers receive it via ``process_allgather`` (one shard in flight at
-    a time, O(P * N*E/S) transient, never P copies of the catalog).
+    peers receive it via ``broadcast_one_to_all`` (one shard in flight
+    at a time, ONE (N*E/S) copy on the wire — an allgather would move
+    and hold P buffers, P-1 of them zeros, per shard).
     ALL processes must call this with the same arguments."""
     pi = jax.process_index()
     owner = mesh.devices[0, s].process_index
@@ -123,7 +124,11 @@ def _gathered_shard(arr, s: int, per: int, mesh, shape, dtype):
         if local is not None
         else np.zeros(shape, dtype)
     )
-    return np.asarray(multihost_utils.process_allgather(buf))[owner]
+    return np.asarray(
+        multihost_utils.broadcast_one_to_all(
+            buf, is_source=(owner == pi)
+        )
+    )
 
 
 def _write_sharded_artifact(

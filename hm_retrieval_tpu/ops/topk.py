@@ -36,6 +36,12 @@ def topk_pair(vals: jax.Array, ids: jax.Array, k: int):
     Ties: both paths order equal values by position (stable sort /
     top_k contract), so results are identical.
     """
+    if k > vals.shape[-1]:
+        # lax.top_k raises here; the sort path's slice would silently
+        # clamp to fewer than k columns — keep the loud contract
+        raise ValueError(
+            f"k={k} exceeds input width {vals.shape[-1]}"
+        )
     if k <= 256:
         v, sel = lax.top_k(vals, k)
         return v, jnp.take_along_axis(ids, sel, axis=1)

@@ -557,6 +557,35 @@ class TestVectorizedHistory:
         )
         assert got["h"].tolist() == want["h"].tolist()
 
+    def test_nan_dates_order_last_like_oracle(self):
+        """Missing dates must sort LAST (sort_values na_position
+        default), not first: factorize's -1 sentinel would otherwise
+        make an undated transaction the user's EARLIEST purchase and
+        leak it into every dated row's history."""
+        from hm_retrieval_tpu.etl.transformations import (
+            _add_history_column_rows,
+        )
+
+        df = pd.DataFrame(
+            {
+                "t_dat": ["2020-01-02", None, "2020-01-01",
+                          "2020-01-03", None],
+                "customer_id": ["u"] * 5,
+                "article_id": ["x1", "x2", "x3", "x4", "x5"],
+            }
+        )
+        got = add_history_column(
+            df, "customer_id", "article_id", "h", 8,
+            date_col="t_dat",
+        )
+        want = _add_history_column_rows(
+            df, "customer_id", "article_id", "h", 8,
+            date_col="t_dat",
+        )
+        assert got["h"].tolist() == want["h"].tolist()
+        # the dated rows never see the undated items
+        assert got["h"].tolist()[3] == ["x3", "x1"]
+
     def test_matches_oracle_without_date(self):
         from hm_retrieval_tpu.etl.transformations import (
             _add_history_column_rows,
