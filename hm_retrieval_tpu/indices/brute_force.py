@@ -31,6 +31,21 @@ logger = logging.getLogger(__name__)
 Batch = Dict[str, jax.Array]
 
 
+@partial(jax.jit, static_argnums=(1,))
+def _pad_device(emb, n_pad):
+    """Device-side catalog padding: zero pad rows, -inf score bias for
+    the padded tail (matches the host build exactly)."""
+    n = emb.shape[0]
+    pad = n_pad - n
+    bias = jnp.concatenate(
+        [
+            jnp.zeros((n,), jnp.float32),
+            jnp.full((pad,), -jnp.inf, jnp.float32),
+        ]
+    )
+    return jnp.pad(emb, ((0, pad), (0, 0))), bias
+
+
 def _pad_to_multiple(n: int, m: int) -> int:
     return ((n + m - 1) // m) * m
 
@@ -80,8 +95,12 @@ class BruteForceIndex:
         if not 0.0 < recall_target <= 1.0:
             raise ValueError("recall_target must be in (0, 1]")
         self.recall_target = float(recall_target)
+        # device-resident construction (see QuantizedIndex): a
+        # jax.Array catalog is padded on device, no host round trip
+        on_device = isinstance(embeddings, jax.Array)
         identifiers = np.asarray(identifiers)
-        embeddings = np.asarray(embeddings, dtype=np.float32)
+        if not on_device:
+            embeddings = np.asarray(embeddings, dtype=np.float32)
         if identifiers.ndim != 1 or embeddings.ndim != 2:
             raise ValueError("identifiers must be (N,), embeddings (N, E)")
         if len(identifiers) != len(embeddings):
@@ -100,16 +119,22 @@ class BruteForceIndex:
         n_pad = _pad_to_multiple(
             self.num_candidates, self.PAD_MULTIPLE
         )
-        emb = np.zeros((n_pad, embeddings.shape[1]), np.float32)
-        emb[: self.num_candidates] = embeddings
-        bias = np.zeros((n_pad,), np.float32)
-        bias[self.num_candidates:] = -np.inf
         ids = np.zeros((n_pad,), identifiers.dtype)
         ids[: self.num_candidates] = identifiers
-
         self.identifiers = jnp.asarray(ids)
-        self.embeddings = jnp.asarray(emb)
-        self._score_bias = jnp.asarray(bias)
+        if on_device:
+            self.embeddings, self._score_bias = _pad_device(
+                embeddings.astype(jnp.float32), n_pad
+            )
+        else:
+            emb = np.zeros(
+                (n_pad, embeddings.shape[1]), np.float32
+            )
+            emb[: self.num_candidates] = embeddings
+            bias = np.zeros((n_pad,), np.float32)
+            bias[self.num_candidates:] = -np.inf
+            self.embeddings = jnp.asarray(emb)
+            self._score_bias = jnp.asarray(bias)
         if method == "auto":
             if n_pad <= 16384:
                 method = "full"
@@ -131,12 +156,22 @@ class BruteForceIndex:
         embed_fn: Callable[[Batch], jax.Array],
         batches: Iterable[Batch],
         batch_size: int,
+        device: bool = False,
     ) -> "BruteForceIndex":
         """Embed the full catalog with the candidate tower, batching to a
-        fixed padded size so the tower compiles exactly once."""
-        from hm_retrieval_tpu.indices.builder import collect_catalog
+        fixed padded size so the tower compiles exactly once.
+        ``device=True`` keeps the embeddings on device end to end (no
+        host round trip — the per-epoch rebuild path on accelerators,
+        see builder.collect_catalog_device)."""
+        from hm_retrieval_tpu.indices.builder import (
+            collect_catalog,
+            collect_catalog_device,
+        )
 
-        identifiers, embeddings = collect_catalog(
+        collect = (
+            collect_catalog_device if device else collect_catalog
+        )
+        identifiers, embeddings = collect(
             candidate_id_col, embed_fn, batches, batch_size
         )
         logger.info(

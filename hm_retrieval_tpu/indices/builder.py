@@ -51,6 +51,31 @@ def collect_catalog(
     return np.concatenate(ids_parts), np.concatenate(emb_parts)
 
 
+def collect_catalog_device(
+    candidate_id_col: str,
+    embed_fn: Callable[[Batch], jax.Array],
+    batches: Iterable[Batch],
+    batch_size: int,
+) -> Tuple[np.ndarray, jax.Array]:
+    """Like ``collect_catalog`` but the embeddings NEVER leave the
+    device: per-batch tower outputs stay as device arrays and are
+    concatenated on device. Feeding the result straight into an index
+    constructor (which accepts jax.Array since round 5) removes the
+    device->host->device round trip of the per-epoch rebuild — at
+    N=1M that round trip is the whole cost on a slow link (BASELINE.md
+    index-build table: ~45 ms of chip time vs 40 s e2e through the
+    relay). Ids stay on host (they are O(N) int32, not O(N*E))."""
+    import jax.numpy as jnp
+
+    ids_parts, emb_parts = [], []
+    for batch in batches:
+        n = len(batch[candidate_id_col])
+        padded = _pad_batch_rows(batch, batch_size, n)
+        emb_parts.append(embed_fn(padded)[:n])
+        ids_parts.append(np.asarray(batch[candidate_id_col])[:n])
+    return np.concatenate(ids_parts), jnp.concatenate(emb_parts)
+
+
 # ---------------------------------------------------------------------------
 # Streaming sharded build: rows flow batch -> shard buffer -> device shard
 # without ever materializing the host (N, E) fp32 catalog.

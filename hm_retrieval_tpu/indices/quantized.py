@@ -388,13 +388,22 @@ class QuantizedIndex:
         embed_fn: Callable[[Batch], jax.Array],
         batches: Iterable[Batch],
         batch_size: int,
+        device: bool = False,
         **kwargs,
     ) -> "QuantizedIndex":
         """Embed the catalog with the candidate tower (same contract as
-        BruteForceIndex.build_from_batches)."""
-        from hm_retrieval_tpu.indices.builder import collect_catalog
+        BruteForceIndex.build_from_batches). ``device=True`` keeps the
+        embeddings on device end to end: quantization runs jitted and
+        the host never holds the catalog."""
+        from hm_retrieval_tpu.indices.builder import (
+            collect_catalog,
+            collect_catalog_device,
+        )
 
-        identifiers, embeddings = collect_catalog(
+        collect = (
+            collect_catalog_device if device else collect_catalog
+        )
+        identifiers, embeddings = collect(
             candidate_id_col, embed_fn, batches, batch_size
         )
         logger.info(

@@ -147,7 +147,14 @@ def build_index(
         from hm_retrieval_tpu.indices import INDEX_TYPES
 
         index_cls = INDEX_TYPES[index_type]
-        extra = {}
+        # catalog families build on device end to end (no host round
+        # trip for the (N, E) embeddings — at 1M rows the round trip
+        # dwarfs the ~45 ms of chip time, BASELINE.md index-build)
+        extra = (
+            {"device": True}
+            if index_type in ("brute_force", "quantized")
+            else {}
+        )
     cand_fn = jax.jit(model.candidate_forward)
 
     def batches():

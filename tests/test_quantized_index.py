@@ -563,3 +563,78 @@ class TestDeviceConstruction:
         np.testing.assert_allclose(
             np.asarray(ds), np.asarray(hs), rtol=1e-6
         )
+
+
+class TestDeviceBuildFromBatches:
+    """device=True builds (embeddings never leave the device) must
+    equal the host-collected builds exactly, for both catalog
+    families — the runner's per-epoch rebuild path."""
+
+    def _setup(self, rng, n=100, e=8):
+        emb = rng.normal(size=(n, e)).astype(np.float32)
+        ids = rng.permutation(n).astype(np.int32) + 1
+        table = jnp.asarray(emb)
+        row_of_id = np.empty(n + 1, np.int32)
+        row_of_id[ids] = np.arange(n, dtype=np.int32)
+        row_of_id = jnp.asarray(row_of_id)
+
+        def embed(batch):
+            return jnp.take(
+                table,
+                jnp.take(row_of_id, batch["article_id"]),
+                axis=0,
+            )
+
+        def batches():
+            return [
+                {"article_id": ids[lo : lo + 32]}
+                for lo in range(0, n, 32)
+            ]
+
+        return ids, embed, batches
+
+    def test_quantized_device_equals_host(self, rng):
+        ids, embed, batches = self._setup(rng)
+        host = QuantizedIndex.build_from_batches(
+            5, "article_id", embed, batches(), 32
+        )
+        dev = QuantizedIndex.build_from_batches(
+            5, "article_id", embed, batches(), 32, device=True
+        )
+        np.testing.assert_array_equal(
+            np.asarray(dev.codes), np.asarray(host.codes)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(dev.scales), np.asarray(host.scales)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(dev.embeddings), np.asarray(host.embeddings)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(dev.identifiers),
+            np.asarray(host.identifiers),
+        )
+
+    def test_brute_force_device_equals_host(self, rng):
+        ids, embed, batches = self._setup(rng)
+        host = BruteForceIndex.build_from_batches(
+            5, "article_id", embed, batches(), 32
+        )
+        dev = BruteForceIndex.build_from_batches(
+            5, "article_id", embed, batches(), 32, device=True
+        )
+        np.testing.assert_array_equal(
+            np.asarray(dev.embeddings), np.asarray(host.embeddings)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(dev._score_bias),
+            np.asarray(host._score_bias),
+        )
+        q = jnp.asarray(
+            rng.normal(size=(7, 8)).astype(np.float32)
+        )
+        hs, hi = host.topk_from_embeddings(q)
+        ds, di = dev.topk_from_embeddings(q)
+        np.testing.assert_array_equal(
+            np.asarray(di), np.asarray(hi)
+        )
