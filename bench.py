@@ -802,6 +802,24 @@ def bench_index_build(
         e2e_dt = time.time() - t0
         out["e2e_rows_per_s"] = N / e2e_dt
         out["e2e_s"] = e2e_dt
+        # device=True build: embeddings never leave the device (the
+        # runner's per-epoch rebuild path since round 5) — same real
+        # host batches in, no (N,E) download/upload
+        t0 = time.time()
+        idx = QuantizedIndex.build_from_batches(
+            100,
+            "article_id",
+            embed_fn,
+            host_batches(),
+            batch,
+            rescore=False,
+            device=True,
+        )
+        jax.block_until_ready(idx.codes)
+        int(idx.identifiers[0])  # value-fetch sync (CLAUDE.md timing)
+        dev_dt = time.time() - t0
+        out["device_e2e_rows_per_s"] = N / dev_dt
+        out["device_e2e_s"] = dev_dt
 
     if distributed:
         from hm_retrieval_tpu.indices.distributed import (
@@ -1275,6 +1293,10 @@ def main():
         if "e2e_rows_per_s" in ib:
             line["index_build_1m_e2e_rows_per_s"] = round(
                 ib["e2e_rows_per_s"], 1
+            )
+        if "device_e2e_rows_per_s" in ib:
+            line["index_build_1m_device_e2e_rows_per_s"] = round(
+                ib["device_e2e_rows_per_s"], 1
             )
     print(json.dumps(line))
 
