@@ -562,7 +562,7 @@ def bench_quantized(iters: int, B: int, N: int, E: int, K: int,
                     oversample: int = 2,
                     scale_mode: str = "per_row",
                     L: int = None, q_block: int = None,
-                    fold: int = None):
+                    fold: int = None, rounds: int = 1):
     """Quantized-index retrieval (int8 catalog stream + fp32 rescore of
     the oversampled survivors — the indices/quantized.py production
     path, measured at the kernel level). ``scale_mode="global"`` runs
@@ -572,6 +572,7 @@ def bench_quantized(iters: int, B: int, N: int, E: int, K: int,
         pallas_quantized_topk,
         pallas_quantized_topk_global,
     )
+    from hm_retrieval_tpu.ops.topk import topk_pair
 
     c = jax.jit(
         lambda: jax.random.normal(
@@ -618,7 +619,7 @@ def bench_quantized(iters: int, B: int, N: int, E: int, K: int,
                 )
             else:
                 v, idx, r = pallas_quantized_topk(
-                    qq, codes, scales, k_over, max_rounds=1,
+                    qq, codes, scales, k_over, max_rounds=rounds,
                     L=L, q_block=q_block, fold=fold,
                 )
             rows = jnp.take(c, idx, axis=0)
@@ -629,8 +630,11 @@ def bench_quantized(iters: int, B: int, N: int, E: int, K: int,
                 preferred_element_type=jnp.float32,
             )
             exact = jnp.where(jnp.isneginf(v), -jnp.inf, exact)
-            ts, sel = jax.lax.top_k(exact, K)
-            ti = jnp.take_along_axis(idx, sel, axis=1)
+            # payload sort for k>256 (ops/topk.py): the product path's
+            # round-5 rescore selection — top_k + take_along_axis here
+            # re-adds the gather bound the rewrite removed (measured
+            # +9.6ms at k=1000/N=1M)
+            ts, ti = topk_pair(exact, idx, K)
             return (
                 carry
                 + jnp.sum(ts)
@@ -651,7 +655,7 @@ def bench_quantized(iters: int, B: int, N: int, E: int, K: int,
         "config": {
             "B": B, "N": N, "E": E, "K": K,
             "oversample": oversample, "rescore": True,
-            "scale_mode": scale_mode,
+            "scale_mode": scale_mode, "rounds": rounds,
         },
     }
 
@@ -1174,6 +1178,12 @@ def main():
             20, 1024, 1_048_576, 128, 1000,
             oversample=1, L=2048, q_block=128, fold=1,
         )
+        # 2-round refinement: the cheap recall lever after the round-5
+        # merge fix (0.968 -> 0.990 recall, BASELINE.md k=1000 table)
+        details["quantized_1m_k1000_r2"] = bench_quantized(
+            20, 1024, 1_048_576, 128, 1000,
+            oversample=1, L=2048, q_block=128, fold=1, rounds=2,
+        )
     if args.scale == "hm":
         # per-epoch index rebuild throughput (verdict r4 #5): embed +
         # quantize on device, plus the real build_from_batches wall
@@ -1276,6 +1286,7 @@ def main():
         "quantized_10m_global",
         "retrieval_k1000",
         "quantized_1m_k1000",
+        "quantized_1m_k1000_r2",
     ):
         if k in details:
             line[f"{k}_queries_per_s"] = round(
