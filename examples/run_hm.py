@@ -26,7 +26,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--data-dir", required=True)
     ap.add_argument("--workdir", required=True)
-    ap.add_argument("--epochs", type=int, default=1)
+    ap.add_argument("--epochs", type=int, default=None)
     ap.add_argument(
         "--sample",
         type=float,
@@ -81,7 +81,7 @@ def main():
     ap.add_argument(
         "--steps-per-dispatch",
         type=int,
-        default=1,
+        default=None,
         help="train steps per device round trip (K batches stacked "
         "into one lax.scan dispatch; identical numerics, ragged "
         "epoch tails dropped). Raise on slow dispatch paths — "
@@ -263,13 +263,13 @@ def main():
             train_batch_size=512,  # ref: main.py:98
             test_batch_size=2048,
             candidate_batch_size=10_000,
-            epochs=args.epochs,
+            epochs=args.epochs or 1,
             optimizer_name="adagrad",
             optimizer_kwargs={"learning_rate": 0.05},
             sharded_embedding_features=[
                 f for f in args.sharded_features.split(",") if f
             ],
-            steps_per_dispatch=args.steps_per_dispatch,
+            steps_per_dispatch=args.steps_per_dispatch or 1,
         ),
         candidate_id_col="article_id",
     )
@@ -294,11 +294,25 @@ def main():
         shard_writer_runner(settings)
     results = baseline = None
     if "model" in stages:
+        # run-shape knobs given on THIS command line take effect even
+        # when the schema stage (which snapshots TrainingConfig,
+        # ref: schema.py:57-84) ran in an earlier invocation — without
+        # this, a stage-sliced `--stages model --epochs 2` silently
+        # trained the schema-time epoch count
+        overrides = {}
+        if "schema" not in stages:
+            if args.epochs is not None:
+                overrides["epochs"] = args.epochs
+            if args.steps_per_dispatch is not None:
+                overrides["steps_per_dispatch"] = (
+                    args.steps_per_dispatch
+                )
         results = modelling_runner(
             settings,
             mesh=mesh,
             resume=args.resume,
             distributed_index=args.distributed_index,
+            training_overrides=overrides,
         )
     if "baseline" in stages:
         baseline = baseline_modelling_runner(settings)

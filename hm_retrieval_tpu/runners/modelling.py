@@ -392,15 +392,42 @@ def modelling_runner(
     mesh=None,
     resume: bool = False,
     distributed_index: bool = False,
+    training_overrides: Optional[Dict[str, object]] = None,
 ) -> Dict[str, Dict[int, float]]:
     """Full train+eval stage (ref: modelling_runner,
     pkg/modelling/runner.py:18-107). Returns {"initial": recalls,
     "final": recalls}. ``distributed_index`` serves every eval (and the
     saved artifact) from a catalog row-sharded over ``mesh``'s model
-    axis instead of a replicated single-device index."""
+    axis instead of a replicated single-device index.
+
+    ``training_overrides``: TrainingConfig field values that replace
+    the ones snapshotted into the schema artifact at schema-build time
+    (the reference shares one config snapshot across stages,
+    ref: schema.py:57-84 — but a stage-sliced rerun, e.g. training more
+    epochs against existing shards, must be able to say so without
+    rebuilding the schema). Logged loudly; numerics-affecting fields
+    like batch sizes belong in the schema, run-shape knobs (epochs,
+    steps_per_dispatch) are the intended use."""
     schema = Schema.load(settings.schema_dirpath)
     tc = schema.training_config
     mc = schema.model_config
+    if training_overrides:
+        import dataclasses as _dc
+
+        for key, value in training_overrides.items():
+            if not hasattr(tc, key):
+                raise ValueError(
+                    f"unknown TrainingConfig field {key!r}"
+                )
+            if getattr(tc, key) != value:
+                logger.warning(
+                    "Overriding schema TrainingConfig.%s: %r -> %r",
+                    key,
+                    getattr(tc, key),
+                    value,
+                )
+        tc = _dc.replace(tc, **training_overrides)
+        schema.training_config = tc
     if distributed_index and mesh is None:
         raise ValueError(
             "distributed_index=True requires a mesh (make_mesh)"

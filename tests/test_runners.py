@@ -533,3 +533,40 @@ class TestEvaluationRunner:
         assert res[50] == pytest.approx(
             results["final"][50], abs=1e-9
         )
+
+
+class TestTrainingOverrides:
+    """Stage-sliced reruns must be able to change run-shape knobs
+    without rebuilding the schema (the snapshot the reference shares
+    across stages, ref: schema.py:57-84): a `--stages model --epochs N`
+    invocation previously trained the schema-time epoch count
+    silently."""
+
+    def test_epochs_override_and_unknown_field(self, pipeline):
+        import dataclasses
+
+        settings, _, _ = pipeline
+        s1 = dataclasses.replace(
+            settings,
+            checkpoint_dirpath=settings.checkpoint_dirpath + "_ov",
+            model_dirpath=settings.model_dirpath + "_ov",
+            index_dirpath=settings.index_dirpath + "_ov",
+        )
+        from hm_retrieval_tpu.runners import modelling_runner
+
+        with pytest.raises(ValueError, match="unknown TrainingConfig"):
+            modelling_runner(
+                s1, training_overrides={"not_a_field": 3}
+            )
+        modelling_runner(s1, training_overrides={"epochs": 1})
+
+        def latest(d):
+            return max(
+                int(p) for p in os.listdir(d) if p.isdigit()
+            )
+
+        # fixture ran the schema-time epochs=2; the override ran 1 —
+        # identical shards, so exactly half the optimizer steps
+        assert latest(s1.checkpoint_dirpath) * 2 == latest(
+            settings.checkpoint_dirpath
+        )
