@@ -89,6 +89,16 @@ def main():
         "relay-attached chip (BASELINE.md)",
     )
     ap.add_argument(
+        "--etl-chunk-rows",
+        type=int,
+        default=None,
+        metavar="N",
+        help="stream the transactions CSV through the ETL join N rows "
+        "at a time (peak memory O(chunk) instead of the whole merged "
+        "frame; identical outputs). Default: in-memory, like the "
+        "reference",
+    )
+    ap.add_argument(
         "--platform",
         default=None,
         help="force a jax platform (e.g. cpu); default = ambient",
@@ -180,6 +190,7 @@ def main():
         checkpoint_dirpath=f"{d}/artifacts/checkpoints",
         tensorboard_logs_dir=f"{d}/logs",
         history_max_len=args.history or None,
+        etl_chunk_rows=args.etl_chunk_rows,
         savedmodel_dirpath=(
             f"{d}/artifacts/savedmodel"
             if args.export_savedmodel

@@ -14,7 +14,9 @@ Analog of the reference runners (ref: pkg/etl/runner.py:9-84):
 from __future__ import annotations
 
 import logging
+import os
 
+import numpy as np
 import pandas as pd
 
 from hm_retrieval_tpu.etl.transformations import (
@@ -31,7 +33,12 @@ logger = logging.getLogger(__name__)
 
 def etl_runner(settings: Settings) -> None:
     """Join raw CSVs and produce train/test splits
-    (ref: pkg/etl/runner.py:9-51)."""
+    (ref: pkg/etl/runner.py:9-51). With ``settings.etl_chunk_rows``
+    set, the transactions CSV streams through the join in chunks —
+    identical outputs (tests assert frame equality incl. histories),
+    peak memory O(chunk + N ints) instead of O(N columns)."""
+    if settings.etl_chunk_rows:
+        return _etl_runner_chunked(settings)
     transactions = load_dataframe(settings.transactions_filepath)
     articles = load_dataframe(settings.articles_filepath)
     customers = load_dataframe(settings.customers_filepath)
@@ -72,6 +79,175 @@ def etl_runner(settings: Settings) -> None:
         train, settings.train_data_filepath, settings.date_column
     )
     save_dataframe(test, settings.test_data_filepath, settings.date_column)
+
+
+def _grow_codes(values, index, dropna: bool = False):
+    """Incremental factorize: integer codes for ``values`` against a
+    growing global unique-Index (first-appearance order, matching
+    ``pd.factorize`` run over the concatenated whole). ``dropna``
+    leaves missing values coded -1 (factorize's default sentinel) for
+    the caller to remap."""
+    vals = np.asarray(values)
+    na = pd.isna(vals) if dropna else None
+    if index is None:
+        index = pd.Index([], dtype=object)
+    codes = index.get_indexer(vals)  # -1 = unseen (or NaN)
+    fresh = codes < 0
+    if dropna:
+        fresh &= ~na
+    if fresh.any():
+        new = pd.unique(vals[fresh])
+        index = index.append(pd.Index(new))
+        codes = index.get_indexer(vals)
+    if dropna:
+        codes = np.where(na, -1, codes)
+    return codes.astype(np.int64), index
+
+
+def _etl_runner_chunked(settings: Settings) -> None:
+    """Streaming variant of ``etl_runner``: transactions flow through
+    the join ``etl_chunk_rows`` at a time; per-chunk frames append to
+    the train/test parquet via ParquetWriter; the history windows come
+    from globally-coded O(N)-int arrays (build_history_state) with the
+    flat item vector materialized one chunk at a time. Removes the
+    in-memory triple join's RAM ceiling (~5x reference scale on this
+    host, BASELINE.md) while producing byte-equivalent loaded frames
+    (asserted in tests/test_etl.py)."""
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hm_retrieval_tpu.etl.transformations import (
+        build_history_state,
+        history_arrow_column,
+        history_flat_range,
+    )
+
+    articles = load_dataframe(settings.articles_filepath)
+    customers = load_dataframe(settings.customers_filepath)
+    hist = settings.history_max_len
+    date_col = settings.date_column
+    tmp_dir = os.path.join(
+        os.path.dirname(settings.train_data_filepath) or ".",
+        "_etl_chunks",
+    )
+    shutil.rmtree(tmp_dir, ignore_errors=True)
+    os.makedirs(tmp_dir, exist_ok=True)
+
+    user_index = item_index = date_index = None
+    user_parts, item_parts, date_parts = [], [], []
+    chunk_files = []
+    total = 0
+    for i, chunk in enumerate(
+        pd.read_csv(
+            settings.transactions_filepath,
+            chunksize=settings.etl_chunk_rows,
+        )
+    ):
+        merged = chunk.merge(
+            articles, on=settings.article_id_column, how="inner"
+        ).merge(
+            customers, on=settings.customer_id_column, how="inner"
+        )
+        if hist:
+            codes, user_index = _grow_codes(
+                merged[settings.customer_id_column], user_index
+            )
+            user_parts.append(codes)
+            codes, item_index = _grow_codes(
+                merged[settings.article_id_column], item_index
+            )
+            item_parts.append(codes)
+            codes, date_index = _grow_codes(
+                merged[date_col], date_index, dropna=True
+            )
+            date_parts.append(codes)
+        path = os.path.join(tmp_dir, f"chunk_{i:05d}.parquet")
+        merged.to_parquet(path, index=False)
+        chunk_files.append((path, len(merged)))
+        total += len(merged)
+    logger.info(
+        "Merged frame has %d rows (%d chunks)",
+        total,
+        len(chunk_files),
+    )
+
+    state = item_uniques = None
+    if hist and total:
+        # factorize(sort=True) semantics for dates: codes rank the
+        # RAW unique values in sorted order, missing values above all
+        # real ones (sort_values na_position='last')
+        uniques = date_index.to_numpy() if date_index is not None \
+            else np.empty(0, object)
+        rank = np.empty(len(uniques), np.int64)
+        rank[np.argsort(uniques)] = np.arange(len(uniques))
+        raw = np.concatenate(date_parts)
+        date_codes = np.where(raw < 0, len(uniques), rank[raw])
+        state = build_history_state(
+            np.concatenate(user_parts),
+            date_codes,
+            np.concatenate(item_parts),
+            hist,
+        )
+        item_uniques = item_index.to_numpy()
+        del user_parts, item_parts, date_parts, raw, date_codes
+
+    splits = {
+        "train": (
+            settings.train_data_filepath,
+            settings.train_start_date,
+            settings.train_end_date,
+        ),
+        "test": (
+            settings.test_data_filepath,
+            settings.test_start_date,
+            settings.test_end_date,
+        ),
+    }
+    writers = {name: None for name in splits}
+    counts = {name: 0 for name in splits}
+    lo = 0
+    for path, m in chunk_files:
+        df = pd.read_parquet(path)
+        if hist and m:
+            offsets, flat = history_flat_range(state, lo, lo + m)
+            arr = history_arrow_column(offsets, flat, item_uniques)
+            df[settings.history_column] = pd.Series(
+                pd.arrays.ArrowExtensionArray(arr), index=df.index
+            )
+        lo += m
+        for name, (out_path, start, end) in splits.items():
+            part = date_filter(df, date_col, start, end)
+            if not len(part):
+                continue
+            tbl = pa.Table.from_pandas(part, preserve_index=False)
+            if writers[name] is None:
+                os.makedirs(
+                    os.path.dirname(out_path) or ".", exist_ok=True
+                )
+                writers[name] = pq.ParquetWriter(
+                    out_path, tbl.schema
+                )
+            elif tbl.schema != writers[name].schema:
+                tbl = tbl.cast(writers[name].schema)
+            writers[name].write_table(tbl)
+            counts[name] += len(part)
+    for name, (out_path, start, end) in splits.items():
+        if writers[name] is not None:
+            writers[name].close()
+        else:
+            # split got no rows: still leave a loadable empty parquet
+            # (the in-memory path writes one too)
+            pd.DataFrame().to_parquet(out_path)
+        logger.info(
+            "Saved %d rows covering %s..%s to %s",
+            counts[name],
+            start,
+            end,
+            out_path,
+        )
+    shutil.rmtree(tmp_dir, ignore_errors=True)
 
 
 def build_schema_runner(settings: Settings, schema: Schema) -> None:

@@ -86,8 +86,6 @@ def add_history_column(
     loop's per-row dict/group bookkeeping is O(python objects) while
     this stays in numpy/arrow C; the loop survives as
     ``_add_history_column_rows``, the equivalence-test oracle)."""
-    import pyarrow as pa
-
     n = len(df)
     if n == 0:
         out = df.copy()
@@ -110,6 +108,33 @@ def add_history_column(
         )
     else:
         date_codes = np.zeros(n, np.int64)
+    state = build_history_state(
+        user_codes, date_codes, item_codes, max_len
+    )
+    offsets, flat = history_flat_range(state, 0, n)
+    list_arr = history_arrow_column(
+        offsets, flat, np.asarray(item_uniques)
+    )
+    out = df.copy()
+    out[out_col] = pd.Series(
+        pd.arrays.ArrowExtensionArray(list_arr), index=df.index
+    )
+    return out
+
+
+def build_history_state(
+    user_codes: np.ndarray,
+    date_codes: np.ndarray,
+    item_codes: np.ndarray,
+    max_len: int,
+) -> dict:
+    """Vectorized history-window core over pre-coded arrays (the
+    chunked ETL path feeds this with globally-consistent codes built
+    incrementally across CSV chunks). One stable lexsort groups each
+    user's rows in date order; cumulative group positions give every
+    row's window into the sorted item sequence. O(N) ints, no
+    strings."""
+    n = len(user_codes)
     # stable: primary user, secondary date, ties keep original order —
     # within each user this is exactly sort_values(date, stable) +
     # groupby(user) encounter order
@@ -127,33 +152,52 @@ def add_history_column(
     lens_sorted = np.minimum(idx - group_start, max_len).astype(
         np.int64
     )
+    return {
+        "inv_perm": inv_perm,
+        "items_sorted": items_sorted,
+        "lens": lens_sorted[inv_perm],  # original row order
+    }
 
-    # emit windows directly in ORIGINAL row order (cheaper than a
-    # post-hoc arrow take): original row r sits at sorted position
-    # inv_perm[r], whose window is items_sorted[sp-L .. sp-1]
-    lens = lens_sorted[inv_perm]
-    offsets = np.zeros(n + 1, np.int64)
+
+def history_flat_range(state: dict, lo: int, hi: int):
+    """Flat window item-codes for original rows [lo, hi): returns
+    (offsets (hi-lo+1,) int64 starting at 0, flat int32). Emits
+    windows directly in ORIGINAL row order: original row r sits at
+    sorted position inv_perm[r], whose window is
+    items_sorted[sp-L .. sp-1]. Per-range cost is O(rows*window) — the
+    chunked writer attaches histories one chunk at a time without ever
+    materializing the global flat vector."""
+    inv_perm = state["inv_perm"]
+    items_sorted = state["items_sorted"]
+    lens = state["lens"][lo:hi]
+    m = hi - lo
+    offsets = np.zeros(m + 1, np.int64)
     np.cumsum(lens, out=offsets[1:])
     total = int(offsets[-1])
-    row = np.repeat(idx, lens)
+    row = np.repeat(np.arange(m, dtype=np.int64), lens)
     j = np.arange(total, dtype=np.int64) - offsets[:-1][row]
-    src = inv_perm[row] - lens[row] + j
+    src = inv_perm[lo + row] - lens[row] + j
     flat = items_sorted[src].astype(np.int32)
+    return offsets, flat
+
+
+def history_arrow_column(
+    offsets: np.ndarray, flat: np.ndarray, item_uniques: np.ndarray
+):
+    """``large_list<dictionary<string>>`` arrow array from flat window
+    codes — item strings stored once in the dictionary, so N rows cost
+    O(N * window) int32, not O(N * window) python strings."""
+    import pyarrow as pa
 
     tokens = pa.array(
         np.asarray(item_uniques).astype(str), type=pa.string()
     )
-    list_arr = pa.LargeListArray.from_arrays(
+    return pa.LargeListArray.from_arrays(
         pa.array(offsets, type=pa.int64()),
         pa.DictionaryArray.from_arrays(
             pa.array(flat, type=pa.int32()), tokens
         ),
     )
-    out = df.copy()
-    out[out_col] = pd.Series(
-        pd.arrays.ArrowExtensionArray(list_arr), index=df.index
-    )
-    return out
 
 
 def _add_history_column_rows(

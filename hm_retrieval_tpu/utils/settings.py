@@ -84,6 +84,14 @@ class Settings:
     history_max_len: Optional[int] = None
     history_column: str = "purchase_history"
 
+    # When set, etl_runner streams the transactions CSV in chunks of
+    # this many rows (join + split + parquet append per chunk; history
+    # windows computed from O(N)-int compact arrays) instead of
+    # loading everything in memory — removes the ~5x-reference-scale
+    # RAM ceiling of the in-memory triple join (BASELINE.md "Full
+    # pipeline at H&M scale"). None = in-memory (reference parity).
+    etl_chunk_rows: Optional[int] = None
+
     extra: dict = field(default_factory=dict)
 
     # ------------------------------------------------------------------

@@ -169,3 +169,136 @@ class TestEtlRunner:
         assert loaded.feature("article_id").has_vocab
         assert loaded.logq is not None
         assert loaded.logq[0] == 0.0
+
+
+class TestChunkedEtlRunner:
+    """Streaming ETL (Settings.etl_chunk_rows) must produce loaded
+    frames EQUAL to the in-memory path — join semantics, row order,
+    date split, and history windows across chunk boundaries."""
+
+    def _run_both(self, tmp_path, n_tx, history, chunk_rows):
+        import dataclasses
+
+        from hm_retrieval_tpu.utils.synthetic import (
+            generate_hm_like_csvs,
+        )
+
+        raw = generate_hm_like_csvs(
+            str(tmp_path / "raw"),
+            n_transactions=n_tx,
+            n_customers=40,
+            n_articles=25,
+            seed=7,
+        )
+        base = make_settings(tmp_path)
+        common = dict(
+            transactions_filepath=raw["transactions"],
+            articles_filepath=raw["articles"],
+            customers_filepath=raw["customers"],
+            train_start_date=raw["train_start"],
+            train_end_date=raw["train_end"],
+            test_start_date=raw["test_start"],
+            test_end_date=raw["test_end"],
+            history_max_len=3 if history else None,
+        )
+        d = str(tmp_path)
+        mem = dataclasses.replace(base, **common)
+        chunked = dataclasses.replace(
+            base,
+            **common,
+            train_data_filepath=f"{d}/processed_c/train.parquet",
+            test_data_filepath=f"{d}/processed_c/test.parquet",
+            etl_chunk_rows=chunk_rows,
+        )
+        etl_runner(mem)
+        etl_runner(chunked)
+        return mem, chunked
+
+    @pytest.mark.parametrize("history", [False, True])
+    def test_equals_in_memory(self, tmp_path, history):
+        from hm_retrieval_tpu.etl.transformations import (
+            load_dataframe,
+        )
+
+        mem, chunked = self._run_both(
+            tmp_path, n_tx=900, history=history, chunk_rows=130
+        )
+        for split in ("train_data_filepath", "test_data_filepath"):
+            a = load_dataframe(getattr(mem, split))
+            b = load_dataframe(getattr(chunked, split))
+            assert list(a.columns) == list(b.columns)
+            assert len(a) == len(b)
+            for col in a.columns:
+                av, bv = a[col], b[col]
+                if str(av.dtype).startswith(
+                    "large_list"
+                ) or str(av.dtype).startswith("list"):
+                    assert [
+                        list(x) for x in av
+                    ] == [list(x) for x in bv], col
+                else:
+                    pd.testing.assert_series_equal(
+                        av.reset_index(drop=True),
+                        bv.reset_index(drop=True),
+                        check_names=False,
+                    )
+
+    def test_nan_dates_cross_chunk(self, tmp_path):
+        """Undated transactions (sorted last, round-5 fix) must get
+        identical histories even when the NaN rows land in different
+        chunks than the user's dated rows."""
+        d = tmp_path
+        (d / "raw").mkdir()
+        tx = pd.DataFrame(
+            {
+                "t_dat": [
+                    "2020-01-02", None, "2020-01-01",
+                    "2020-01-03", None, "2020-01-04",
+                ],
+                "customer_id": ["u1"] * 6,
+                "article_id": ["a1", "a2", "a3", "a4", "a5", "a1"],
+                "price": [1.0] * 6,
+            }
+        )
+        tx.to_csv(d / "raw" / "transactions.csv", index=False)
+        pd.DataFrame(
+            {
+                "article_id": ["a1", "a2", "a3", "a4", "a5"],
+                "product_type_name": ["t"] * 5,
+            }
+        ).to_csv(d / "raw" / "articles.csv", index=False)
+        pd.DataFrame(
+            {"customer_id": ["u1"], "age": [30.0]}
+        ).to_csv(d / "raw" / "customers.csv", index=False)
+        import dataclasses
+
+        base = make_settings(d)
+        common = dict(
+            transactions_filepath=str(d / "raw/transactions.csv"),
+            articles_filepath=str(d / "raw/articles.csv"),
+            customers_filepath=str(d / "raw/customers.csv"),
+            train_start_date="2020-01-01",
+            train_end_date="2020-01-04",
+            history_max_len=4,
+        )
+        mem = dataclasses.replace(base, **common)
+        chunked = dataclasses.replace(
+            base,
+            **common,
+            train_data_filepath=f"{d}/processed_c/train.parquet",
+            test_data_filepath=f"{d}/processed_c/test.parquet",
+            etl_chunk_rows=2,
+        )
+        etl_runner(mem)
+        etl_runner(chunked)
+        from hm_retrieval_tpu.etl.transformations import (
+            load_dataframe,
+        )
+
+        a = load_dataframe(mem.train_data_filepath)
+        b = load_dataframe(chunked.train_data_filepath)
+        ha = [list(x) for x in a["purchase_history"]]
+        hb = [list(x) for x in b["purchase_history"]]
+        assert ha == hb
+        # dated rows never see the undated items (a2, a5)
+        assert ha[-1] == ["a3", "a1", "a4"]
