@@ -99,6 +99,23 @@ def main():
         "reference",
     )
     ap.add_argument(
+        "--schema-stream-rows",
+        type=int,
+        default=None,
+        metavar="N",
+        help="build vocabs/logQ in a streaming pass of N parquet rows "
+        "at a time (identical schema artifact, O(uniques) memory)",
+    )
+    ap.add_argument(
+        "--shard-stream-rows",
+        type=int,
+        default=None,
+        metavar="N",
+        help="stream the shards stage N parquet rows at a time "
+        "(identical shard files, peak memory one batch + one shard "
+        "buffer). Default: whole splits in memory",
+    )
+    ap.add_argument(
         "--platform",
         default=None,
         help="force a jax platform (e.g. cpu); default = ambient",
@@ -191,6 +208,8 @@ def main():
         tensorboard_logs_dir=f"{d}/logs",
         history_max_len=args.history or None,
         etl_chunk_rows=args.etl_chunk_rows,
+        schema_stream_rows=args.schema_stream_rows,
+        shard_stream_rows=args.shard_stream_rows,
         savedmodel_dirpath=(
             f"{d}/artifacts/savedmodel"
             if args.export_savedmodel

@@ -112,19 +112,78 @@ class ShardWriter:
 
     def write_shards(self, df: pd.DataFrame, dirpath: str) -> int:
         """Encode + write; returns the number of shards written."""
+        return self.write_shards_streaming([df], dirpath)
+
+    def write_shards_streaming(self, frames, dirpath: str) -> int:
+        """Encode + write from an iterable of DataFrames, holding at
+        most one input frame plus ~max_rows encoded rows in memory —
+        the streaming shards stage (pairs with the chunked ETL: the
+        whole pipeline is then O(chunk) in the row count). Shard
+        boundaries and file contents are IDENTICAL to a single
+        write_shards over the concatenated frame (full shards flush as
+        soon as max_rows accumulate)."""
         os.makedirs(dirpath, exist_ok=True)
-        columns = self.encode_dataframe(df)
-        n = len(df)
-        num_shards = max(1, -(-n // self.max_rows))
-        for s in range(num_shards):
-            lo, hi = s * self.max_rows, min((s + 1) * self.max_rows, n)
-            shard = {k: v[lo:hi] for k, v in columns.items()}
+        pending: Dict[str, List[np.ndarray]] = {
+            f.name: [] for f in self.features
+        }
+        pend_rows = 0
+        n = 0
+        s = 0
+
+        def flush(final: bool) -> None:
+            nonlocal pend_rows, s, pending
+            while pend_rows >= self.max_rows or (
+                final and pend_rows > 0
+            ):
+                take = min(self.max_rows, pend_rows)
+                shard = {}
+                for key, parts in pending.items():
+                    col = (
+                        parts[0]
+                        if len(parts) == 1
+                        else np.concatenate(parts)
+                    )
+                    shard[key] = col[:take]
+                    pending[key] = [col[take:]] if take < len(
+                        col
+                    ) else []
+                pend_rows -= take
+                np.savez(
+                    os.path.join(dirpath, f"shard_{s:05d}.npz"),
+                    **shard,
+                )
+                s += 1
+
+        empty_template = None
+        for df in frames:
+            if not len(df):
+                empty_template = df
+                continue
+            columns = self.encode_dataframe(df)
+            for key, arr in columns.items():
+                pending[key].append(arr)
+            pend_rows += len(df)
+            n += len(df)
+            flush(final=False)
+        flush(final=True)
+        if s == 0:
+            # zero rows total: keep the one-empty-shard layout the
+            # monolithic writer produced (readers expect >= 1 file)
+            if empty_template is None:
+                empty_template = pd.DataFrame(
+                    {
+                        f.name: pd.Series([], dtype=object)
+                        for f in self.features
+                    }
+                )
+            shard = self.encode_dataframe(empty_template)
             np.savez(
-                os.path.join(dirpath, f"shard_{s:05d}.npz"), **shard
+                os.path.join(dirpath, "shard_00000.npz"), **shard
             )
+            s = 1
         manifest = {
             "num_rows": n,
-            "num_shards": num_shards,
+            "num_shards": s,
             # rows per shard (last shard may be short): lets multi-host
             # readers compute their local row count without opening files
             "max_rows": self.max_rows,
@@ -140,6 +199,6 @@ class ShardWriter:
         with open(os.path.join(dirpath, MANIFEST_NAME), "w") as fp:
             json.dump(manifest, fp, indent=2)
         logger.info(
-            "Wrote %d rows as %d shard(s) to %s", n, num_shards, dirpath
+            "Wrote %d rows as %d shard(s) to %s", n, s, dirpath
         )
-        return num_shards
+        return s

@@ -250,9 +250,141 @@ def _etl_runner_chunked(settings: Settings) -> None:
     shutil.rmtree(tmp_dir, ignore_errors=True)
 
 
+class _StreamCounts:
+    """Incremental value_counts: first-appearance-ordered uniques plus
+    int counts, so the final stable descending sort reproduces
+    ``Series.value_counts`` exactly — INCLUDING the tie order among
+    equal counts (first appearance), which fixes the encode ids."""
+
+    def __init__(self):
+        self.index = None
+        self.counts = np.zeros(0, np.int64)
+
+    def update(self, values: np.ndarray) -> None:
+        codes, index = _grow_codes(values, self.index)
+        if len(index) != len(self.counts):
+            grown = np.zeros(len(index), np.int64)
+            grown[: len(self.counts)] = self.counts
+            self.counts = grown
+        self.index = index
+        self.counts += np.bincount(
+            codes, minlength=len(self.counts)
+        )
+
+    def value_counts(self) -> pd.Series:
+        order = np.argsort(-self.counts, kind="stable")
+        return pd.Series(
+            self.counts[order],
+            index=np.asarray(self.index)[order],
+        )
+
+
+def _build_schema_runner_streaming(
+    settings: Settings, schema: Schema
+) -> None:
+    """Streaming vocab/stats/logQ build: one pass over the train
+    parquet in ``schema_stream_rows`` batches, holding only count
+    tables (O(uniques)) — never the split. Sequence columns with
+    shared vocabs are not even read. Identical resulting schema
+    artifact (vocab order incl. ties, logQ) — asserted in
+    tests/test_etl.py."""
+    from hm_retrieval_tpu.data.runner import iter_parquet_batches
+    from hm_retrieval_tpu.schema.features import FeatureKind
+
+    cat = [
+        f
+        for f in schema.features
+        if f.kind == FeatureKind.CATEGORICAL and not f.has_vocab
+    ]
+    seq = [
+        f
+        for f in schema.features
+        if f.kind == FeatureKind.SEQUENCE
+        and not f.has_vocab
+        and not f.shared_vocab_with
+    ]
+    num = [
+        f
+        for f in schema.features
+        if f.kind == FeatureKind.NUMERIC and f.standardize
+    ]
+    need_logq = schema.training_config.use_logq_correction
+    cols = {f.name for f in cat + seq + num}
+    if need_logq:
+        cols.add(schema.candidate_id_col)
+    counters = {name: _StreamCounts() for name in cols - {
+        f.name for f in num
+    }}
+    sums = {f.name: [0.0, 0.0, 0] for f in num}  # sum, sumsq, n
+    total_rows = 0
+    for batch in iter_parquet_batches(
+        settings.train_data_filepath,
+        sorted(cols),
+        settings.schema_stream_rows,
+    ):
+        total_rows += len(batch)
+        for f in cat:
+            counters[f.name].update(
+                batch[f.name].astype(str).to_numpy()
+            )
+        for f in seq:
+            counters[f.name].update(
+                batch[f.name]
+                .explode()
+                .dropna()
+                .astype(str)
+                .to_numpy()
+            )
+        if need_logq and schema.candidate_id_col not in {
+            f.name for f in cat
+        }:
+            counters[schema.candidate_id_col].update(
+                batch[schema.candidate_id_col]
+                .astype(str)
+                .to_numpy()
+            )
+        for f in num:
+            col = batch[f.name].to_numpy(dtype=np.float64)
+            ok = ~np.isnan(col)
+            acc = sums[f.name]
+            acc[0] += float(col[ok].sum())
+            acc[1] += float((col[ok] ** 2).sum())
+            acc[2] += int(ok.sum())
+
+    for f in cat + seq:
+        counts = counters[f.name].value_counts()
+        if f.max_vocab_size is not None:
+            counts = counts.iloc[: f.max_vocab_size]
+        f.vocab = counts.index.to_numpy(dtype=str)
+        f._token_to_id = None
+        logger.info(
+            "Feature %s vocab size %d (streamed)",
+            f.name,
+            len(f.vocab),
+        )
+    for f in num:
+        s, s2, n = sums[f.name]
+        f.mean = s / n if n else 0.0
+        var = max(s2 / n - f.mean**2, 0.0) if n else 0.0
+        f.std = float(np.sqrt(var)) or 1.0
+    schema._wire_shared_vocabs()
+    if need_logq:
+        schema.build_logq_from_value_counts(
+            counters[schema.candidate_id_col].value_counts(),
+            total_rows,
+        )
+        logger.info(
+            "Built logQ table with %d entries", len(schema.logq)
+        )
+    schema.save(settings.schema_dirpath)
+
+
 def build_schema_runner(settings: Settings, schema: Schema) -> None:
     """Build vocabs + logQ from the train split, persist the schema
-    (ref: pkg/etl/runner.py:54-84)."""
+    (ref: pkg/etl/runner.py:54-84). ``settings.schema_stream_rows``
+    streams the pass (identical artifact, O(uniques) memory)."""
+    if settings.schema_stream_rows:
+        return _build_schema_runner_streaming(settings, schema)
     feature_cols = [f.name for f in schema.features]
     train = load_dataframe(
         settings.train_data_filepath, columns=feature_cols

@@ -162,10 +162,21 @@ class Schema:
         cid = self.candidate_id_feature
         if not cid.has_vocab:
             raise ValueError("candidate id vocab must be built before logQ")
-        probs = (
-            train_df[self.candidate_id_col].astype(str).value_counts()
-            / len(train_df)
+        self.build_logq_from_value_counts(
+            train_df[self.candidate_id_col].astype(str).value_counts(),
+            len(train_df),
         )
+
+    def build_logq_from_value_counts(
+        self, counts: "pd.Series", total_rows: int
+    ) -> None:
+        """Same dense-table construction from precomputed candidate-id
+        value counts (the streaming schema stage accumulates these one
+        parquet batch at a time)."""
+        cid = self.candidate_id_feature
+        if not cid.has_vocab:
+            raise ValueError("candidate id vocab must be built before logQ")
+        probs = counts / total_rows
         table = np.zeros(cid.num_embeddings, dtype=np.float32)
         # vocab token i -> id i+1
         tok_probs = probs.reindex(cid.vocab).to_numpy(dtype=np.float64)

@@ -92,6 +92,19 @@ class Settings:
     # pipeline at H&M scale"). None = in-memory (reference parity).
     etl_chunk_rows: Optional[int] = None
 
+    # When set, the schema stage builds vocabs/stats/logQ in one
+    # streaming pass of this many parquet rows at a time, holding
+    # only count tables (O(uniques)); sequence columns with shared
+    # vocabs are not read at all. Identical schema artifact.
+    schema_stream_rows: Optional[int] = None
+
+    # When set, the shards stage streams the train/test parquet
+    # through encode+write this many rows at a time instead of
+    # loading whole splits (identical shard files; candidates
+    # collected in the same pass). Pairs with etl_chunk_rows for an
+    # O(chunk)-memory pipeline.
+    shard_stream_rows: Optional[int] = None
+
     extra: dict = field(default_factory=dict)
 
     # ------------------------------------------------------------------

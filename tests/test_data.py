@@ -203,3 +203,103 @@ class TestShardWriterRunner:
             "article_id",
             "product_type_name",
         }
+
+
+class TestStreamingShardStage:
+    """Settings.shard_stream_rows must yield shard files IDENTICAL to
+    the in-memory stage — same boundaries, same encoded arrays, same
+    candidate set/order, same manifests."""
+
+    def _run_both(self, tmp_path, history):
+        import dataclasses
+        import json
+        import os
+
+        from hm_retrieval_tpu.utils.synthetic import (
+            generate_hm_like_csvs,
+        )
+        from tests.test_etl import make_settings
+
+        raw = generate_hm_like_csvs(
+            str(tmp_path / "raw"),
+            n_transactions=1200,
+            n_customers=50,
+            n_articles=30,
+            seed=3,
+        )
+        base = make_settings(tmp_path)
+        common = dict(
+            transactions_filepath=raw["transactions"],
+            articles_filepath=raw["articles"],
+            customers_filepath=raw["customers"],
+            train_start_date=raw["train_start"],
+            train_end_date=raw["train_end"],
+            test_start_date=raw["test_start"],
+            test_end_date=raw["test_end"],
+            history_max_len=3 if history else None,
+            max_shard_rows=150,
+        )
+        mem = dataclasses.replace(base, **common)
+        etl_runner(mem)
+        schema = make_hm_schema()
+        if history:
+            from hm_retrieval_tpu.schema import (
+                Feature,
+                FeatureFamily,
+                FeatureKind,
+            )
+
+            schema.features.append(
+                Feature(
+                    "purchase_history",
+                    FeatureKind.SEQUENCE,
+                    FeatureFamily.QUERY,
+                    embedding_size=4,
+                    max_len=3,
+                    shared_vocab_with="article_id",
+                )
+            )
+        build_schema_runner(mem, schema)
+        shard_writer_runner(mem)
+        d = str(tmp_path)
+        stream = dataclasses.replace(
+            mem,
+            train_shards_dirpath=f"{d}/shards_s/train",
+            test_shards_dirpath=f"{d}/shards_s/test",
+            candidate_shards_dirpath=f"{d}/shards_s/candidates",
+            shard_stream_rows=170,  # deliberately != max_shard_rows
+        )
+        shard_writer_runner(stream)
+        return mem, stream
+
+    @pytest.mark.parametrize("history", [False, True])
+    def test_identical_shards(self, tmp_path, history):
+        import json
+        import os
+
+        mem, stream = self._run_both(tmp_path, history)
+        for attr in (
+            "train_shards_dirpath",
+            "test_shards_dirpath",
+            "candidate_shards_dirpath",
+        ):
+            a_dir, b_dir = getattr(mem, attr), getattr(stream, attr)
+            a_files = sorted(os.listdir(a_dir))
+            assert a_files == sorted(os.listdir(b_dir)), attr
+            for name in a_files:
+                pa_, pb = (
+                    os.path.join(a_dir, name),
+                    os.path.join(b_dir, name),
+                )
+                if name.endswith(".json"):
+                    assert json.load(open(pa_)) == json.load(
+                        open(pb)
+                    ), name
+                    continue
+                a = np.load(pa_)
+                b = np.load(pb)
+                assert sorted(a.files) == sorted(b.files)
+                for key in a.files:
+                    np.testing.assert_array_equal(
+                        a[key], b[key], err_msg=f"{attr}/{name}/{key}"
+                    )

@@ -302,3 +302,57 @@ class TestChunkedEtlRunner:
         assert ha == hb
         # dated rows never see the undated items (a2, a5)
         assert ha[-1] == ["a3", "a1", "a4"]
+
+
+class TestStreamingSchemaStage:
+    """Settings.schema_stream_rows must produce the identical schema
+    artifact: vocab arrays (incl. tie order among equal counts),
+    numeric stats, and the logQ table."""
+
+    def test_equals_in_memory(self, tmp_path):
+        import dataclasses
+
+        import numpy as np
+
+        from hm_retrieval_tpu.schema import Schema
+        from hm_retrieval_tpu.utils.synthetic import (
+            generate_hm_like_csvs,
+        )
+
+        raw = generate_hm_like_csvs(
+            str(tmp_path / "raw"),
+            n_transactions=1500,
+            n_customers=60,
+            n_articles=35,
+            seed=11,
+        )
+        base = make_settings(tmp_path)
+        common = dict(
+            transactions_filepath=raw["transactions"],
+            articles_filepath=raw["articles"],
+            customers_filepath=raw["customers"],
+            train_start_date=raw["train_start"],
+            train_end_date=raw["train_end"],
+            test_start_date=raw["test_start"],
+            test_end_date=raw["test_end"],
+        )
+        mem = dataclasses.replace(base, **common)
+        etl_runner(mem)
+        d = str(tmp_path)
+        stream = dataclasses.replace(
+            mem,
+            schema_dirpath=f"{d}/schema_s",
+            schema_stream_rows=137,
+        )
+        build_schema_runner(mem, make_hm_schema())
+        build_schema_runner(stream, make_hm_schema())
+        a = Schema.load(mem.schema_dirpath)
+        b = Schema.load(stream.schema_dirpath)
+        for fa, fb in zip(a.features, b.features):
+            assert fa.name == fb.name
+            if fa.has_vocab:
+                np.testing.assert_array_equal(
+                    fa.vocab, fb.vocab, err_msg=fa.name
+                )
+            assert fa.mean == fb.mean and fa.std == fb.std
+        np.testing.assert_array_equal(a.logq, b.logq)
