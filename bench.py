@@ -819,8 +819,10 @@ def bench_index_build(
             rescore=False,
             device=True,
         )
-        jax.block_until_ready(idx.codes)
-        int(idx.identifiers[0])  # value-fetch sync (CLAUDE.md timing)
+        # value-fetch sync DERIVED from the quantized output —
+        # identifiers is an independent host upload and block_until_
+        # ready alone can return early through the relay (CLAUDE.md)
+        int(np.asarray(idx.codes[0, :8]).sum())
         dev_dt = time.time() - t0
         out["device_e2e_rows_per_s"] = N / dev_dt
         out["device_e2e_s"] = dev_dt

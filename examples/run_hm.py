@@ -293,13 +293,17 @@ def main():
             train_batch_size=512,  # ref: main.py:98
             test_batch_size=2048,
             candidate_batch_size=10_000,
-            epochs=args.epochs or 1,
+            epochs=1 if args.epochs is None else args.epochs,
             optimizer_name="adagrad",
             optimizer_kwargs={"learning_rate": 0.05},
             sharded_embedding_features=[
                 f for f in args.sharded_features.split(",") if f
             ],
-            steps_per_dispatch=args.steps_per_dispatch or 1,
+            steps_per_dispatch=(
+                1
+                if args.steps_per_dispatch is None
+                else args.steps_per_dispatch
+            ),
         ),
         candidate_id_col="article_id",
     )

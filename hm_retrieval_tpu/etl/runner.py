@@ -96,9 +96,15 @@ def _grow_codes(values, index, dropna: bool = False):
     if dropna:
         fresh &= ~na
     if fresh.any():
+        # assign fresh codes directly (old_len + position among the
+        # chunk's new uniques) instead of re-probing the whole chunk
+        # against the grown index — halves the dominant hashing cost
         new = pd.unique(vals[fresh])
-        index = index.append(pd.Index(new))
-        codes = index.get_indexer(vals)
+        new_index = pd.Index(new)
+        codes[fresh] = len(index) + new_index.get_indexer(
+            vals[fresh]
+        )
+        index = index.append(new_index)
     if dropna:
         codes = np.where(na, -1, codes)
     return codes.astype(np.int64), index
@@ -135,14 +141,44 @@ def _etl_runner_chunked(settings: Settings) -> None:
     shutil.rmtree(tmp_dir, ignore_errors=True)
     os.makedirs(tmp_dir, exist_ok=True)
 
+    # Dtype pre-pass: per-chunk read_csv inference DIVERGES from the
+    # whole-file inference of the in-memory path (a column whose first
+    # chunk parses int64 but later holds a string becomes int64-then-
+    # object across chunks — breaking the join/writer and the
+    # identical-outputs contract). One cheap scan promotes every
+    # column to the global dtype (any object chunk -> read as str,
+    # matching whole-file mixed-token behavior; numeric chunks promote
+    # via np.promote_types), then the real pass reads with explicit
+    # dtypes.
+    global_dtypes: dict = {}
+    for chunk in pd.read_csv(
+        settings.transactions_filepath,
+        chunksize=settings.etl_chunk_rows,
+    ):
+        for col, dt in chunk.dtypes.items():
+            prev = global_dtypes.get(col)
+            if prev is None:
+                global_dtypes[col] = dt
+            elif prev != dt:
+                if prev == object or dt == object:
+                    global_dtypes[col] = np.dtype(object)
+                else:
+                    global_dtypes[col] = np.promote_types(prev, dt)
+    read_dtypes = {
+        col: (str if dt == object else dt)
+        for col, dt in global_dtypes.items()
+    }
+
     user_index = item_index = date_index = None
     user_parts, item_parts, date_parts = [], [], []
     chunk_files = []
+    template = None
     total = 0
     for i, chunk in enumerate(
         pd.read_csv(
             settings.transactions_filepath,
             chunksize=settings.etl_chunk_rows,
+            dtype=read_dtypes,
         )
     ):
         merged = chunk.merge(
@@ -183,7 +219,13 @@ def _etl_runner_chunked(settings: Settings) -> None:
         rank = np.empty(len(uniques), np.int64)
         rank[np.argsort(uniques)] = np.arange(len(uniques))
         raw = np.concatenate(date_parts)
-        date_codes = np.where(raw < 0, len(uniques), rank[raw])
+        # guard the all-dates-missing case: rank is empty and raw is
+        # all -1, so index through a clipped copy before masking
+        safe = np.where(raw < 0, 0, raw)
+        coded = (
+            rank[safe] if len(rank) else np.zeros_like(raw)
+        )
+        date_codes = np.where(raw < 0, len(uniques), coded)
         state = build_history_state(
             np.concatenate(user_parts),
             date_codes,
@@ -210,6 +252,7 @@ def _etl_runner_chunked(settings: Settings) -> None:
     lo = 0
     for path, m in chunk_files:
         df = pd.read_parquet(path)
+        template = df.head(0) if template is None else template
         if hist and m:
             offsets, flat = history_flat_range(state, lo, lo + m)
             arr = history_arrow_column(offsets, flat, item_uniques)
@@ -217,6 +260,9 @@ def _etl_runner_chunked(settings: Settings) -> None:
                 pd.arrays.ArrowExtensionArray(arr), index=df.index
             )
         lo += m
+        if len(template) == 0 and hist and m:
+            # template keeps the full output schema incl. history
+            template = df.head(0)
         for name, (out_path, start, end) in splits.items():
             part = date_filter(df, date_col, start, end)
             if not len(part):
@@ -233,13 +279,35 @@ def _etl_runner_chunked(settings: Settings) -> None:
                 tbl = tbl.cast(writers[name].schema)
             writers[name].write_table(tbl)
             counts[name] += len(part)
+    if template is None:
+        # zero chunks (empty transactions CSV): synthesize the output
+        # schema from the headers so empty parquets stay loadable
+        header = pd.read_csv(
+            settings.transactions_filepath, nrows=0
+        )
+        template = header.merge(
+            articles.head(0), on=settings.article_id_column
+        ).merge(customers.head(0), on=settings.customer_id_column)
+        if hist:
+            template[settings.history_column] = np.empty(
+                0, dtype=object
+            )
     for name, (out_path, start, end) in splits.items():
         if writers[name] is not None:
             writers[name].close()
         else:
-            # split got no rows: still leave a loadable empty parquet
-            # (the in-memory path writes one too)
-            pd.DataFrame().to_parquet(out_path)
+            # split got no rows: write an empty parquet WITH the full
+            # column schema (the in-memory path does; a schema-less
+            # file breaks column-selecting readers downstream)
+            os.makedirs(
+                os.path.dirname(out_path) or ".", exist_ok=True
+            )
+            pq.write_table(
+                pa.Table.from_pandas(
+                    template, preserve_index=False
+                ),
+                out_path,
+            )
         logger.info(
             "Saved %d rows covering %s..%s to %s",
             counts[name],
@@ -315,7 +383,10 @@ def _build_schema_runner_streaming(
     counters = {name: _StreamCounts() for name in cols - {
         f.name for f in num
     }}
-    sums = {f.name: [0.0, 0.0, 0] for f in num}  # sum, sumsq, n
+    # nan-aware (n, mean, M2) with pairwise combine (Chan et al.) —
+    # one-pass sum-of-squares cancels catastrophically on
+    # large-mean/small-spread columns
+    sums = {f.name: [0, 0.0, 0.0] for f in num}
     total_rows = 0
     for batch in iter_parquet_batches(
         settings.train_data_filepath,
@@ -345,11 +416,20 @@ def _build_schema_runner_streaming(
             )
         for f in num:
             col = batch[f.name].to_numpy(dtype=np.float64)
-            ok = ~np.isnan(col)
-            acc = sums[f.name]
-            acc[0] += float(col[ok].sum())
-            acc[1] += float((col[ok] ** 2).sum())
-            acc[2] += int(ok.sum())
+            col = col[~np.isnan(col)]
+            cn = len(col)
+            if not cn:
+                continue
+            cmean = float(col.mean())
+            c_m2 = float(((col - cmean) ** 2).sum())
+            n, m, m2 = sums[f.name]
+            tot = n + cn
+            delta = cmean - m
+            sums[f.name] = [
+                tot,
+                m + delta * cn / tot,
+                m2 + c_m2 + delta * delta * n * cn / tot,
+            ]
 
     for f in cat + seq:
         counts = counters[f.name].value_counts()
@@ -363,10 +443,14 @@ def _build_schema_runner_streaming(
             len(f.vocab),
         )
     for f in num:
-        s, s2, n = sums[f.name]
-        f.mean = s / n if n else 0.0
-        var = max(s2 / n - f.mean**2, 0.0) if n else 0.0
-        f.std = float(np.sqrt(var)) or 1.0
+        n, m, m2 = sums[f.name]
+        if n:
+            f.mean = m
+            f.std = float(np.sqrt(m2 / n)) or 1.0
+        else:
+            # mirror np.nanmean/np.nanstd over an all-NaN column
+            f.mean = float("nan")
+            f.std = float("nan")
     schema._wire_shared_vocabs()
     if need_logq:
         schema.build_logq_from_value_counts(

@@ -44,6 +44,12 @@ def load_dataframe(
         tbl = pq.read_table(
             filepath, columns=list(columns) if columns else None
         )
+        # drop the pandas schema metadata: it describes ALL stored
+        # columns, and to_pandas re-parses dtype strings like
+        # 'large_list<...>[pyarrow]' (unparseable) even for columns
+        # excluded from this read; the types_mapper below supplies
+        # everything the list columns need
+        tbl = tbl.replace_schema_metadata(None)
         # keep list columns (purchase histories) arrow-backed instead
         # of exploding them into per-row python lists — the shard
         # writer's vectorized sequence encoder consumes the arrow

@@ -83,7 +83,10 @@ def collect_catalog_device(
 
 
 def _pad_batch_rows(batch: Batch, batch_size: int, n: int) -> Batch:
-    if n == batch_size:
+    # oversized batches pass through unpadded (collect_catalog's
+    # behavior: they merely recompile), instead of np.pad crashing on
+    # negative widths
+    if n >= batch_size:
         return batch
 
     def _pad(v):

@@ -236,6 +236,9 @@ class QuantizedIndex:
         pair with ``rescore``.
     """
 
+    # build_from_batches(device=True) keeps the catalog on
+    # device end to end (runners/modelling.py::build_index)
+    supports_device_build = True
     PAD_MULTIPLE = 1024
 
     def __init__(

@@ -149,10 +149,11 @@ def build_index(
         index_cls = INDEX_TYPES[index_type]
         # catalog families build on device end to end (no host round
         # trip for the (N, E) embeddings — at 1M rows the round trip
-        # dwarfs the ~45 ms of chip time, BASELINE.md index-build)
+        # dwarfs the ~45 ms of chip time, BASELINE.md index-build);
+        # families advertise the capability themselves
         extra = (
             {"device": True}
-            if index_type in ("brute_force", "quantized")
+            if getattr(index_cls, "supports_device_build", False)
             else {}
         )
     cand_fn = jax.jit(model.candidate_forward)

@@ -302,6 +302,60 @@ class TestChunkedEtlRunner:
         assert ha == hb
         # dated rows never see the undated items (a2, a5)
         assert ha[-1] == ["a3", "a1", "a4"]
+        # the empty test split must stay loadable WITH column
+        # selection (a schema-less empty parquet breaks downstream
+        # column-selecting readers)
+        empty = load_dataframe(
+            chunked.test_data_filepath,
+            columns=["customer_id", "article_id"],
+        )
+        assert len(empty) == 0
+
+    def test_all_dates_missing_cross_chunk(self, tmp_path):
+        """Every t_dat NaN: the column reads as float64, so
+        date_filter raises the SAME TypeError in both paths (path
+        parity on invalid input; the chunked history build's empty
+        rank table is guarded and is not reached first)."""
+        import dataclasses
+
+        d = tmp_path
+        (d / "raw").mkdir()
+        pd.DataFrame(
+            {
+                "t_dat": [None] * 4,
+                "customer_id": ["u1"] * 4,
+                "article_id": ["a1", "a2", "a3", "a4"],
+                "price": [1.0] * 4,
+            }
+        ).to_csv(d / "raw" / "transactions.csv", index=False)
+        pd.DataFrame(
+            {
+                "article_id": ["a1", "a2", "a3", "a4"],
+                "product_type_name": ["t"] * 4,
+            }
+        ).to_csv(d / "raw" / "articles.csv", index=False)
+        pd.DataFrame(
+            {"customer_id": ["u1"], "age": [30.0]}
+        ).to_csv(d / "raw" / "customers.csv", index=False)
+        base = make_settings(d)
+        chunked = dataclasses.replace(
+            base,
+            transactions_filepath=str(d / "raw/transactions.csv"),
+            articles_filepath=str(d / "raw/articles.csv"),
+            customers_filepath=str(d / "raw/customers.csv"),
+            history_max_len=4,
+            etl_chunk_rows=2,
+        )
+        with pytest.raises(TypeError):
+            etl_runner(chunked)
+        mem = dataclasses.replace(
+            chunked,
+            etl_chunk_rows=None,
+            train_data_filepath=str(d / "m_train.parquet"),
+            test_data_filepath=str(d / "m_test.parquet"),
+        )
+        with pytest.raises(TypeError):
+            etl_runner(mem)
 
 
 class TestStreamingSchemaStage:
@@ -344,8 +398,16 @@ class TestStreamingSchemaStage:
             schema_dirpath=f"{d}/schema_s",
             schema_stream_rows=137,
         )
-        build_schema_runner(mem, make_hm_schema())
-        build_schema_runner(stream, make_hm_schema())
+
+        def schema_with_standardized_age():
+            sch = make_hm_schema()
+            for f in sch.features:
+                if f.name == "age":
+                    f.standardize = True
+            return sch
+
+        build_schema_runner(mem, schema_with_standardized_age())
+        build_schema_runner(stream, schema_with_standardized_age())
         a = Schema.load(mem.schema_dirpath)
         b = Schema.load(stream.schema_dirpath)
         for fa, fb in zip(a.features, b.features):
@@ -354,5 +416,15 @@ class TestStreamingSchemaStage:
                 np.testing.assert_array_equal(
                     fa.vocab, fb.vocab, err_msg=fa.name
                 )
-            assert fa.mean == fb.mean and fa.std == fb.std
+            if fa.mean is not None:
+                # streaming stats use a pairwise (Chan) combine — not
+                # bit-identical to one-shot nanstd, but stable
+                np.testing.assert_allclose(
+                    fb.mean, fa.mean, rtol=1e-12
+                )
+                np.testing.assert_allclose(
+                    fb.std, fa.std, rtol=1e-12
+                )
+            else:
+                assert fb.mean is None and fb.std is None
         np.testing.assert_array_equal(a.logq, b.logq)
